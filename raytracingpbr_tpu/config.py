@@ -1,0 +1,152 @@
+"""Render configuration.
+
+TPU-native re-design of the reference's module-constant config
+(``/root/reference/src/config.py:7-28``). Instead of import-time globals that
+specialize Taichi kernels via ``ti.static``, we use a frozen dataclass passed
+explicitly; every field is Python-static at ``jax.jit`` trace time, giving the
+same kernel-specialization semantics idiomatically (SURVEY.md §5 "Config").
+"""
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Tuple
+
+
+class Tonemap(enum.Enum):
+    """Postprocess pipeline ordering.
+
+    The reference has two orderings (SURVEY.md §2.3.12):
+      * ``GAMMA_THEN_ACES``: exposure -> gamma -> ACES -> clamp
+        (``src/postprocessor.py:24-38``)
+      * ``ACES_THEN_GAMMA``: exposure -> ACES -> gamma
+        (``examples/cornell_box/cornell_box.py:374-377``)
+    """
+
+    GAMMA_THEN_ACES = "gamma_then_aces"
+    ACES_THEN_GAMMA = "aces_then_gamma"
+    NONE = "none"
+
+
+class OmegaPolicy(enum.Enum):
+    """Over-relaxation policies for enhanced sphere tracing (SURVEY.md §2.3.4).
+
+    * ``ROLLBACK_TO_ONE``: w=1.6, on overstep w -> 1.0 (``src/scene.py:61-73``,
+      ``cornell_box_v3/pathtracer.py:63-66``).
+    * ``ROLLBACK_HALF_UP``: w -> 0.5 + 0.5*w on overstep
+      (``examples/scene_demo/tokyo_ibl.py:256``).
+    * ``CONSTANT``: no over-relaxation (w fixed), used by the glass bunny with
+      w=0.5 (``examples/bunny/bunny_sdf_glass.py:251,258``) and the minimal
+      cornell box with w=1.0 (``cornell_box_shortest.py:63-72``).
+    """
+
+    ROLLBACK_TO_ONE = "rollback_to_one"
+    ROLLBACK_HALF_UP = "rollback_half_up"
+    CONSTANT = "constant"
+
+
+class HitCriterion(enum.Enum):
+    """Sphere-tracing hit tests found in the reference (SURVEY.md §2.3.4).
+
+    * ``CONE``: ``distance < t * pixel_radius`` — screen-space proportional
+      (``src/scene.py:79``).
+    * ``RELATIVE``: ``err = d / t < pixel_radius``
+      (``cornell_box_v3/pathtracer.py:68-74``).
+    * ``ABSOLUTE``: ``distance < precision`` — fixed epsilon
+      (``cornell_box_shortest.py:70``, ``cornell_box.py:220``).
+    """
+
+    CONE = "cone"
+    RELATIVE = "relative"
+    ABSOLUTE = "absolute"
+
+
+class Roulette(enum.Enum):
+    """Russian-roulette flavors (SURVEY.md §2.3.8).
+
+    * ``DEPTH_LINEAR``: survival ``(depth==0 ? 1 : quality) - depth/max_depth``
+      (``src/pathtracer.py:65-77``).
+    * ``EXP``: continue prob ``1/exp(i/quality)`` (``cornell_box.py:297-303``,
+      ``cornell_box_shortest.py:83-85``).
+    """
+
+    DEPTH_LINEAR = "depth_linear"
+    EXP = "exp"
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters; defaults mirror ``src/config.py:7-28``."""
+
+    resolution: Tuple[int, int] = (768, 432)  # (W, H); src/config.py:7
+
+    samples_per_frame: int = 1       # src/config.py:9
+    samples_per_pixel: int = 1       # src/config.py:10
+    quality_per_sample: float = 0.8  # roulette survival base; src/config.py:11
+
+    black_background: bool = False   # src/config.py:13
+    adaptive_sampling: bool = False  # src/config.py:14
+
+    visibility: Tuple[float, float] = (1e-4, 1e4)  # src/config.py:16
+    noise_threshold: float = 1e-4    # src/config.py:17
+
+    max_raymarch: int = 512          # src/config.py:25
+    max_raytrace: int = 512          # src/config.py:26
+
+    env_ior: float = 1.000277        # src/config.py:28
+
+    # March policy (defaults = src/ engine; see enums above for example modes)
+    omega: float = 1.6
+    omega_policy: OmegaPolicy = OmegaPolicy.ROLLBACK_TO_ONE
+    hit_criterion: HitCriterion = HitCriterion.CONE
+    hit_precision: float = 1e-4      # only for HitCriterion.ABSOLUTE
+    march_t0: float = 0.0            # initial t (v3/examples use MIN_DIS)
+    max_dis: float = 1e3             # src/config.py:23
+
+    roulette: Roulette = Roulette.DEPTH_LINEAR
+    light_quality: float = 128.0     # EXP-roulette divisor; cornell_box.py:31
+
+    tonemap: Tonemap = Tonemap.GAMMA_THEN_ACES
+    gamma: float = 2.2               # src/camera.py:117
+    clamp_output: bool = True        # src/postprocessor.py:38
+
+    # Accuracy of the compute path. float32 everywhere by default (the
+    # reference is f32: src/config.py:5); bf16 is available for the neural SDF
+    # MXU path.
+    dtype: str = "float32"
+
+    seed: int = 0
+
+    @property
+    def width(self) -> int:
+        return self.resolution[0]
+
+    @property
+    def height(self) -> int:
+        return self.resolution[1]
+
+    @property
+    def num_pixels(self) -> int:
+        return self.resolution[0] * self.resolution[1]
+
+    @property
+    def screen_pixel_size(self) -> Tuple[float, float]:
+        # src/config.py:19
+        return (1.0 / self.resolution[0], 1.0 / self.resolution[1])
+
+    @property
+    def pixel_radius(self) -> float:
+        # src/config.py:20 — min screen pixel size
+        return min(self.screen_pixel_size)
+
+    @property
+    def min_dis(self) -> float:
+        # src/config.py:22 — surface restart offset
+        return 2.5 * self.pixel_radius
+
+    def replace(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# The src/ engine default config (index.py entry point).
+DEFAULT_CONFIG = RenderConfig()

@@ -1,0 +1,123 @@
+"""Deterministic counter-based RNG.
+
+The reference uses Taichi's stateful per-thread RNG (``ti.random()``,
+``src/util.py:53-62``) and leaves a ToDo for low-discrepancy sequences
+(``src/util.py:64``). On TPU we need an RNG that is
+
+  * stateless (everything under ``jit`` is pure),
+  * *shard-invariant*: pixel ``p`` draws the same numbers whether the image is
+    rendered on 1 chip or sharded over a pod (SURVEY.md §2.4, §7.4.4) — this
+    is also what makes checkpoint/resume bit-exact,
+  * vectorized: one VPU pass produces randoms for the whole ray batch.
+
+We use the pcg4d hash (Jarzynski & Olano, "Hash Functions for GPU Rendering",
+JCGT 2020 — public domain construction): a 4-word counter
+``(pixel_id, sample/frame, bounce/step, stream)`` hashes to 4 uniform words.
+``jax.random`` threefry would also work but costs ~10x more per draw and
+forces key plumbing through the scan carries; a counter hash is the standard
+production-renderer design.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_PCG_MULT = jnp.uint32(1664525)
+_PCG_INC = jnp.uint32(1013904223)
+# 1/2^24: map the top 24 bits of a uint32 to [0, 1).
+_INV_2_24 = float(1.0 / (1 << 24))
+
+
+def pcg4d(x: jax.Array, y: jax.Array, z: jax.Array, w: jax.Array):
+    """pcg4d hash: 4 uint32 counters -> 4 uniform uint32 words."""
+    x = x.astype(jnp.uint32)
+    y = y.astype(jnp.uint32)
+    z = z.astype(jnp.uint32)
+    w = w.astype(jnp.uint32)
+
+    x = x * _PCG_MULT + _PCG_INC
+    y = y * _PCG_MULT + _PCG_INC
+    z = z * _PCG_MULT + _PCG_INC
+    w = w * _PCG_MULT + _PCG_INC
+
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+
+    x = x ^ (x >> 16)
+    y = y ^ (y >> 16)
+    z = z ^ (z >> 16)
+    w = w ^ (w >> 16)
+
+    x = x + y * w
+    y = y + z * x
+    z = z + x * y
+    w = w + y * z
+    return x, y, z, w
+
+
+def _to_unit_float(u: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """uint32 -> [0, 1) float using the top 24 bits (exact in f32)."""
+    return (u >> jnp.uint32(8)).astype(dtype) * jnp.asarray(_INV_2_24, dtype)
+
+
+def uniform4(pixel_id: jax.Array, step, stream, seed=0, dtype=jnp.float32):
+    """Four independent uniforms in [0,1) per counter.
+
+    ``pixel_id``: int array (the batch); ``step``: scalar (sample/frame
+    counter, may be traced); ``stream``: static int distinguishing use-sites
+    within one step (roulette / jitter / lens / lobe / ...); ``seed``: global
+    seed mixed into the 4th word.
+    """
+    step = jnp.asarray(step)
+    a, b, c, d = pcg4d(
+        pixel_id,
+        jnp.broadcast_to(step, pixel_id.shape),
+        jnp.full(pixel_id.shape, stream, jnp.uint32),
+        jnp.full(pixel_id.shape, seed, jnp.uint32),
+    )
+    return (
+        _to_unit_float(a, dtype),
+        _to_unit_float(b, dtype),
+        _to_unit_float(c, dtype),
+        _to_unit_float(d, dtype),
+    )
+
+
+def uniform(pixel_id, step, stream, seed=0, dtype=jnp.float32):
+    """One uniform per counter (first pcg4d word)."""
+    return uniform4(pixel_id, step, stream, seed, dtype)[0]
+
+
+# --- samplers (reference math: src/util.py) ---------------------------------
+
+
+def in_unit_disk(u1: jax.Array, u2: jax.Array) -> jax.Array:
+    """sqrt-radius concentric disk sample; ``src/util.py:13-18``.
+
+    Returns (..., 2): ``sqrt(u1) * (sin a, cos a)`` with ``a = 2*pi*u2``.
+    """
+    a = u2 * (2.0 * jnp.pi)
+    r = jnp.sqrt(u1)
+    return jnp.stack([r * jnp.sin(a), r * jnp.cos(a)], axis=-1)
+
+
+def in_unit_sphere(u1: jax.Array, u2: jax.Array) -> jax.Array:
+    """Uniform direction on the unit sphere; ``src/util.py:21-28``.
+
+    (The reference name says "in unit sphere" but the construction samples the
+    *surface*: z uniform in [-1,1], azimuth uniform — we keep the behavior.)
+    """
+    z = 2.0 * u1 - 1.0
+    a = u2 * (2.0 * jnp.pi)
+    xy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    return jnp.stack([xy * jnp.sin(a), xy * jnp.cos(a), z], axis=-1)
+
+
+def hemispheric(normal: jax.Array, u1: jax.Array, u2: jax.Array) -> jax.Array:
+    """Cosine-weighted hemisphere about ``normal``; ``src/pbr.py:16-19``:
+    normalize(normal + uniform_sphere_sample)."""
+    v = in_unit_sphere(u1, u2)
+    s = normal + v
+    return s / jnp.linalg.norm(s, axis=-1, keepdims=True)

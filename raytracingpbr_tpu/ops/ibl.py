@@ -1,0 +1,201 @@
+"""Environment lighting (IBL + procedural skies).
+
+Reference: ``/root/reference/src/ibl.py`` (equirectangular HDR lookup with
+pre-baked exposure/gamma), the procedural gradient sky
+(``examples/scene_demo/main.py:246-248``), and the black/white backgrounds
+(``src/pathtracer.py:33-34``, ``bunny_sdf.py:352``,
+``bunny_sdf_v2.py:355-358``).
+
+TPU-native design: the environment is a small pytree with a *static* kind;
+``sky_color`` dispatches at trace time. HDR maps are replicated device arrays
+and the lookup is a gather (SURVEY.md §7.1). Beyond reference parity we add a
+bilinear filter and a luminance-CDF importance sampler (the reference's own
+ToDo list points this direction; see ``EnvImportanceSampler``).
+"""
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..core.math import brightness, mix, sample_spherical_map
+
+
+class SkyKind(str, enum.Enum):
+    HDR = "hdr"              # equirect texture (src/ibl.py:37-40)
+    GRADIENT = "gradient"    # scene_demo/main.py:246-248
+    BLACK = "black"          # cornell megakernels (cornell_box.py:232-234)
+    WHITE = "white"          # bunny_sdf_v2.py:355-358
+    CONSTANT = "constant"
+
+
+@struct.dataclass
+class Environment:
+    kind: str = struct.field(pytree_node=False)
+    bilinear: bool = struct.field(pytree_node=False)
+    image: Optional[jax.Array] = None   # (W, H, 3) img[x, y] like ti fields
+    scale: jax.Array = 1.0              # post-lookup multiplier
+    color_a: Optional[jax.Array] = None  # gradient horizon / constant color
+    color_b: Optional[jax.Array] = None  # gradient zenith
+
+
+def black_sky(dtype=jnp.float32) -> Environment:
+    return Environment(kind=SkyKind.BLACK.value, bilinear=False,
+                       scale=jnp.asarray(1.0, dtype))
+
+
+def white_sky(dtype=jnp.float32) -> Environment:
+    return Environment(kind=SkyKind.WHITE.value, bilinear=False,
+                       scale=jnp.asarray(1.0, dtype))
+
+
+def constant_sky(color, dtype=jnp.float32) -> Environment:
+    return Environment(kind=SkyKind.CONSTANT.value, bilinear=False,
+                       scale=jnp.asarray(1.0, dtype),
+                       color_a=jnp.asarray(color, dtype))
+
+
+def gradient_sky(scale: float = 1.8, dtype=jnp.float32) -> Environment:
+    """Procedural gradient sky; colors from ``scene_demo/main.py:246-248``,
+    the 1.8 multiplier from its use site (``main.py:322``)."""
+    return Environment(
+        kind=SkyKind.GRADIENT.value, bilinear=False,
+        scale=jnp.asarray(scale, dtype),
+        color_a=jnp.asarray([1.0, 1.0, 0.5], dtype),
+        color_b=jnp.asarray([0.25, 0.35, 1.0], dtype),  # (0.5,0.7,2)*0.5
+    )
+
+
+def adjust(rgb: jax.Array, exposure, gamma) -> jax.Array:
+    """Exposure multiply + power curve; ``src/postprocessor.py:17-21``.
+
+    Note: the IBL pipeline calls this with gamma = 2.2 (not 1/2.2) to pre-bake
+    the decode into the texture (``src/ibl.py:19-23,32-33``).
+    """
+    return (rgb * exposure) ** gamma
+
+
+def hdr_environment(image: jax.Array, exposure: float = 1.4,
+                    gamma: float = 2.2, bilinear: bool = False,
+                    prebake: bool = True, scale: float = 1.0) -> Environment:
+    """Build an HDR equirect environment.
+
+    ``image`` is (W, H, 3) linear data, indexed ``img[x, y]`` like the
+    reference's Taichi field (``src/ibl.py:14-17``). With ``prebake`` the
+    exposure/gamma adjust is applied once here, exactly like
+    ``Image.process`` (``src/ibl.py:19-23``).
+    """
+    img = jnp.asarray(image)
+    if prebake:
+        img = adjust(img, exposure, gamma)
+    return Environment(kind=SkyKind.HDR.value, bilinear=bilinear, image=img,
+                       scale=jnp.asarray(scale, img.dtype))
+
+
+def _texture_nearest(img: jax.Array, uv: jax.Array) -> jax.Array:
+    """Nearest-neighbor fetch; ``src/ibl.py:25-29`` (int truncation)."""
+    w, h = img.shape[0], img.shape[1]
+    x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    return img[x, y]
+
+
+def _texture_bilinear(img: jax.Array, uv: jax.Array) -> jax.Array:
+    """Bilinear fetch with horizontal wrap (quality upgrade; not in ref)."""
+    w, h = img.shape[0], img.shape[1]
+    fx = uv[..., 0] * w - 0.5
+    fy = uv[..., 1] * h - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    tx = (fx - x0)[..., None]
+    ty = (fy - y0)[..., None]
+    x0w = jnp.mod(x0, w)
+    x1w = jnp.mod(x0 + 1, w)
+    y0c = jnp.clip(y0, 0, h - 1)
+    y1c = jnp.clip(y0 + 1, 0, h - 1)
+    c00 = img[x0w, y0c]
+    c10 = img[x1w, y0c]
+    c01 = img[x0w, y1c]
+    c11 = img[x1w, y1c]
+    return mix(mix(c00, c10, tx), mix(c01, c11, tx), ty)
+
+
+def sky_color(env: Environment, direction: jax.Array) -> jax.Array:
+    """Environment radiance along ``direction`` (N, 3) -> (N, 3).
+
+    Static dispatch over ``env.kind`` — the branch resolves at trace time,
+    like ``ti.static`` flags (SURVEY.md §5 "Config").
+    """
+    kind = SkyKind(env.kind)
+    if kind == SkyKind.BLACK:
+        return jnp.zeros_like(direction)
+    if kind == SkyKind.WHITE:
+        return jnp.ones_like(direction) * env.scale
+    if kind == SkyKind.CONSTANT:
+        return jnp.broadcast_to(env.color_a, direction.shape) * env.scale
+    if kind == SkyKind.GRADIENT:
+        t = 0.5 * direction[..., 1:2] + 0.5
+        return mix(env.color_a, env.color_b, t) * env.scale
+    # HDR equirect (src/ibl.py:37-40)
+    uv = sample_spherical_map(direction)
+    tex = _texture_bilinear if env.bilinear else _texture_nearest
+    return tex(env.image, uv) * env.scale
+
+
+@struct.dataclass
+class EnvImportanceSampler:
+    """Luminance-CDF importance sampler over an equirect map.
+
+    Not present in the reference (its ToDo hints at low-discrepancy sampling,
+    ``src/util.py:64``); provided as the standard IBL variance reduction for
+    the TPU build. Sampling is two searchsorted gathers — VPU-friendly.
+    """
+
+    env: Environment
+    row_cdf: jax.Array      # (W,)   marginal CDF over x (longitude)
+    cond_cdf: jax.Array     # (W, H) conditional CDF over y per column
+    pdf_map: jax.Array      # (W, H) solid-angle pdf of each texel
+
+
+def build_env_sampler(env: Environment) -> EnvImportanceSampler:
+    img = env.image
+    w, h = img.shape[0], img.shape[1]
+    # Solid-angle weight: sin(theta), theta in (0, pi) over the y axis — the
+    # reference maps uv.y = asin(dir.y)/pi + 0.5, i.e. y is latitude.
+    y = (jnp.arange(h) + 0.5) / h
+    sin_theta = jnp.cos(jnp.pi * (y - 0.5))  # cos(lat) weight
+    lum = brightness(img) * sin_theta[None, :]
+    lum = jnp.maximum(lum, 1e-12)
+    col_mass = jnp.sum(lum, axis=1)
+    row_cdf = jnp.cumsum(col_mass) / jnp.sum(col_mass)
+    cond = jnp.cumsum(lum, axis=1)
+    cond_cdf = cond / cond[:, -1:]
+    # pdf over the sphere: texel mass / total / texel solid angle
+    texel_sa = (2 * jnp.pi / w) * (jnp.pi / h) * sin_theta[None, :]
+    pdf = lum / jnp.sum(lum) / jnp.maximum(texel_sa, 1e-12)
+    return EnvImportanceSampler(env=env, row_cdf=row_cdf, cond_cdf=cond_cdf,
+                                pdf_map=pdf)
+
+
+def sample_env(sampler: EnvImportanceSampler, u1: jax.Array, u2: jax.Array):
+    """Draw directions ~ envmap luminance. Returns (direction, radiance, pdf)."""
+    img = sampler.env.image
+    w, h = img.shape[0], img.shape[1]
+    x = jnp.clip(jnp.searchsorted(sampler.row_cdf, u1), 0, w - 1)
+    cdf_x = sampler.cond_cdf[x]
+    y = jnp.clip(
+        jax.vmap(jnp.searchsorted)(cdf_x, u2), 0, h - 1)
+    # uv center -> direction (inverse of sample_spherical_map)
+    uu = (x.astype(img.dtype) + 0.5) / w
+    vv = (y.astype(img.dtype) + 0.5) / h
+    phi = (uu - 0.5) * (2 * jnp.pi)
+    lat = (vv - 0.5) * jnp.pi
+    cl = jnp.cos(lat)
+    direction = jnp.stack(
+        [cl * jnp.cos(phi), jnp.sin(lat), cl * jnp.sin(phi)], axis=-1)
+    radiance = img[x, y] * sampler.env.scale
+    pdf = sampler.pdf_map[x, y]
+    return direction, radiance, pdf

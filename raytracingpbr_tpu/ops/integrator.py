@@ -1,0 +1,350 @@
+"""Path-tracing integrators.
+
+Two integrators, mirroring the reference's two engine generations
+(SURVEY.md §3.2 — "the single most important design divergence"):
+
+* ``wavefront_step`` / ``render_frame`` — the src/ engine's progressive
+  wavefront scheme (``src/pathtracer.py``): persistent per-pixel ray state,
+  each call advances every pixel's path by ~one bounce-segment, finished
+  paths deposit into the accumulator and respawn. On TPU this is the
+  performance-canonical form: fixed-trip work per call, no divergence, state
+  carried through ``lax.scan`` (SURVEY.md §7.1).
+
+* ``megakernel_trace`` / ``render_image`` — the examples' megakernel
+  (``cornell_box.py:296-379``, ``cornell_box_shortest.py:81-129``): the full
+  bounce loop per sample as a ``lax.scan`` with an active mask. Simpler,
+  differentiable end-to-end, used as the test oracle and for offline stills.
+
+RNG discipline (SURVEY.md §2.4): every draw is counter-derived from
+``(pixel_id, step_or_sample, stream)`` — bit-identical across sharding
+layouts and across checkpoint/resume.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig, Roulette
+from ..core import rng as rnglib
+from ..core.math import brightness
+from ..core.types import Camera, FrameState, Rays, refresh
+from . import camera as cameralib
+from . import march as marchlib
+from . import post as postlib
+from . import scene as scenelib
+from . import shade as shadelib
+from .ibl import Environment, sky_color
+from .scene import Scene
+
+# RNG stream ids (use-sites within one wavefront step / bounce)
+_S_ROULETTE = 0
+_S_CAMERA = 1   # jitter x/y + lens u/v
+_S_SHADE = 2    # hemisphere u/v + lobe u/v
+
+
+def _where(mask, a, b):
+    return jnp.where(mask[:, None] if a.ndim == 2 else mask, a, b)
+
+
+def _trace_one_bounce(scene: Scene, env: Environment, rays: Rays,
+                      pixel_id: jax.Array, counter, cfg: RenderConfig,
+                      differentiable: bool = False,
+                      roughness_fresnel: bool = False,
+                      restart_at_hit: bool = False) -> Rays:
+    """One ``raytrace`` bounce (``src/pathtracer.py:16-36``): march, then
+    surface interaction or sky, emission multiply, brightness termination.
+    ``counter`` is the RNG step counter for this bounce's draws.
+    """
+    res = marchlib.march(scene, rays.origin, rays.direction, cfg,
+                         differentiable=differentiable)
+    depth = rays.depth + 1  # raycast increments depth (src/scene.py:83)
+
+    u4 = rnglib.uniform4(pixel_id, counter, _S_SHADE, cfg.seed,
+                         rays.color.dtype)
+    inter = shadelib.ray_surface_interaction(
+        scene, res.index, res.position, rays.direction, u4, cfg,
+        roughness_fresnel=roughness_fresnel, restart_at_hit=restart_at_hit)
+
+    # --- hit branch (src/pathtracer.py:20-28) ---
+    color_hit = rays.color * inter.color_scale
+    intensity = brightness(color_hit)
+    color_hit = color_hit * scene.emission[res.index]
+    visible = brightness(color_hit)
+    stop = ((intensity < visible)
+            | (visible < cfg.visibility[0])
+            | (visible > cfg.visibility[1]))
+    depth_hit = jnp.where(stop, -depth, depth)
+
+    # --- miss branch (src/pathtracer.py:29-34) ---
+    color_miss = rays.color * sky_color(env, rays.direction)
+    depth_miss = -depth
+    if cfg.black_background:
+        # kill primary-miss only: after negation, depth < -1 means the path
+        # had bounced at least once (src/pathtracer.py:33-34)
+        color_miss = color_miss * (depth_miss < -1).astype(color_miss.dtype)[:, None]
+
+    hit = res.hit
+    return Rays(
+        origin=_where(hit, inter.origin, res.position),
+        direction=_where(hit, inter.direction, rays.direction),
+        color=_where(hit, color_hit, color_miss),
+        depth=jnp.where(hit, depth_hit, depth_miss),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wavefront (src/ engine)
+# ---------------------------------------------------------------------------
+
+
+def wavefront_step(scene: Scene, env: Environment, cam: Camera,
+                   rays: Rays, accum: jax.Array, pixel_id: jax.Array,
+                   step: jax.Array, cfg: RenderConfig,
+                   active: Optional[jax.Array] = None,
+                   differentiable: bool = False):
+    """One russian-roulette wavefront step per pixel
+    (``src/pathtracer.py:65-77`` -> ``track_once`` -> ``raytrace``).
+
+    ``step`` is the global roulette-step counter (RNG uniqueness).
+    ``active``: optional per-pixel gate (adaptive sampling,
+    ``src/pathtracer.py:97-101``). Returns ``(rays, accum)``.
+    """
+    depth = rays.depth
+    dtype = rays.color.dtype
+
+    # Russian roulette (src/pathtracer.py:65-77). Depth-linear survival:
+    # 1 at depth 0, else quality - depth/max (negative depths from terminated
+    # paths intentionally boost survival — faithful to the reference).
+    u_r = rnglib.uniform(pixel_id, step, _S_ROULETTE, cfg.seed, dtype)
+    prob = jnp.where(depth == 0, 1.0,
+                     cfg.quality_per_sample
+                     - depth.astype(dtype) * (1.0 / cfg.max_raytrace))
+    kill = u_r > prob
+    survive = ~kill
+    color_surv = rays.color / jnp.maximum(prob, 1e-8)[:, None]
+
+    # track_once (src/pathtracer.py:53-62): finished paths deposit and
+    # respawn a camera ray with sub-pixel jitter.
+    finished = (depth < 1) | (depth > cfg.max_raytrace)
+    deposit = finished & survive
+    if active is not None:
+        deposit = deposit & active
+    accum = accum + jnp.where(
+        deposit[:, None],
+        jnp.concatenate([color_surv, jnp.ones_like(u_r)[:, None]], -1),
+        0.0)
+
+    u_cam = rnglib.uniform4(pixel_id, step, _S_CAMERA, cfg.seed, dtype)
+    uv = cameralib.pixel_uv(pixel_id, cfg.width, cfg.height,
+                            u_cam[0], u_cam[1])
+    fresh = cameralib.get_ray(cam, uv, u_cam[2], u_cam[3])
+
+    pre = Rays(
+        origin=_where(finished, fresh.origin, rays.origin),
+        direction=_where(finished, fresh.direction, rays.direction),
+        color=_where(finished, fresh.color, color_surv),
+        depth=jnp.where(finished, 0, depth),
+    )
+
+    traced = _trace_one_bounce(scene, env, pre, pixel_id, step, cfg,
+                               differentiable=differentiable)
+
+    # kill lane (src/pathtracer.py:70-72): zero the contribution, mark
+    # terminated; the zero sample deposits on the next step's respawn.
+    new_rays = Rays(
+        origin=_where(survive, traced.origin, rays.origin),
+        direction=_where(survive, traced.direction, rays.direction),
+        color=_where(survive, traced.color, jnp.zeros_like(rays.color)),
+        depth=jnp.where(survive, traced.depth, -depth),
+    )
+    if active is not None:
+        new_rays = jax.tree.map(
+            lambda new, old: _where(active, new, old), new_rays, rays)
+    return new_rays, accum
+
+
+def render_frame(scene: Scene, env: Environment, cam: Camera,
+                 state: FrameState, cfg: RenderConfig,
+                 refreshing=False, exposure=1.0):
+    """One display frame = ``render()`` (``src/renderer.py:25-32``):
+    optional refresh, ``samples_per_frame x samples_per_pixel`` wavefront
+    steps, then postprocess. Returns ``(pixels (N,3), new_state)``.
+
+    ``refreshing`` may be a Python or traced bool (camera moved).
+    """
+    refreshed = refresh(state)
+    is_r = jnp.asarray(refreshing)
+    state = jax.tree.map(
+        lambda a, b: jnp.where(
+            jnp.reshape(is_r, (1,) * a.ndim) if a.ndim else is_r, a, b),
+        refreshed, state)
+
+    n = cfg.num_pixels
+    pixel_id = jnp.arange(n, dtype=jnp.uint32)
+    rays, accum = state.rays, state.accum
+    # Monotone RNG counter: the frame index times steps-per-frame. ``frame``
+    # is never reset by refresh() (src/camera.py:112 increments it
+    # unconditionally), so draws never repeat after an accumulation reset.
+    steps_per_frame = cfg.samples_per_frame * cfg.samples_per_pixel
+    base = state.frame * steps_per_frame
+
+    active = None
+    if cfg.adaptive_sampling:
+        active = state.noise > cfg.noise_threshold
+
+    k = 0
+    for _ in range(cfg.samples_per_frame):
+        for _ in range(cfg.samples_per_pixel):
+            rays, accum = wavefront_step(
+                scene, env, cam, rays, accum, pixel_id, base + k, cfg,
+                active=active)
+            k += 1
+
+    pixels, diff_accum, noise = postlib.post_process(
+        accum, cfg, exposure, last_pixels=state.pixels,
+        diff_accum=state.diff_accum)
+    new_state = state.replace(
+        rays=rays, accum=accum, frame=state.frame + 1,
+        pixels=pixels,
+        diff_accum=diff_accum if diff_accum is not None else state.diff_accum,
+        noise=noise if noise is not None else state.noise,
+    )
+    return pixels, new_state
+
+
+# ---------------------------------------------------------------------------
+# Megakernel (examples / test oracle / differentiable stills)
+# ---------------------------------------------------------------------------
+
+
+class TraceResult(NamedTuple):
+    color: jax.Array   # (N, 3) radiance estimate per ray
+    bounces: jax.Array  # (N,) i32 bounce count (diagnostics)
+
+
+def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
+                     pixel_id: jax.Array, sample_idx, cfg: RenderConfig,
+                     diffuse_only: bool = False,
+                     differentiable: bool = False,
+                     roughness_fresnel: bool = True,
+                     restart_at_hit: bool = True) -> TraceResult:
+    """Full bounce loop per sample (``cornell_box.py:296-319``): EXP
+    russian roulette (``1 - 1/exp(i/light_quality)``), march, interaction,
+    brightness termination; miss multiplies the sky color and stops.
+
+    ``diffuse_only`` reproduces the minimal cornell box's shading
+    (``cornell_box_shortest.py:88-99``): pure cosine-hemisphere bounce.
+    """
+    n = rays.depth.shape[0]
+    dtype = rays.color.dtype
+    max_bounce = cfg.max_raytrace
+
+    def body(carry, i):
+        origin, direction, color, alive, bounces = carry
+        counter = jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(
+            max_bounce) + i.astype(jnp.uint32)
+
+        if cfg.roulette == Roulette.EXP:
+            inv_pdf = jnp.exp(i.astype(dtype) / cfg.light_quality)
+            roulette_prob = 1.0 - 1.0 / inv_pdf
+            u = rnglib.uniform(pixel_id, counter, _S_ROULETTE, cfg.seed,
+                               dtype)
+            die = u < roulette_prob
+            color = jnp.where((alive & die)[:, None],
+                              color * roulette_prob, color)
+            alive = alive & ~die
+        # (DEPTH_LINEAR roulette belongs to the wavefront path.)
+
+        res = marchlib.march(scene, origin, direction, cfg,
+                             differentiable=differentiable)
+
+        u4 = rnglib.uniform4(pixel_id, counter, _S_SHADE, cfg.seed, dtype)
+        if diffuse_only:
+            normal = scenelib.calc_normal(scene, res.index, res.position)
+            outer = jnp.sum(direction * normal, -1) < 0.0
+            normal = jnp.where(outer[:, None], normal, -normal)
+            new_dir = rnglib.hemispheric(normal, u4[0], u4[1])
+            new_origin = res.position
+            color_scale = scene.albedo[res.index]
+        else:
+            inter = shadelib.ray_surface_interaction(
+                scene, res.index, res.position, direction, u4, cfg,
+                roughness_fresnel=roughness_fresnel,
+                restart_at_hit=restart_at_hit)
+            new_dir, new_origin, color_scale = inter
+
+        # hit: update throughput, test brightness termination
+        color_hit = color * color_scale
+        intensity = brightness(color_hit)
+        color_hit = color_hit * scene.emission[res.index]
+        visible = brightness(color_hit)
+        stop_hit = (intensity < visible) | (visible < cfg.visibility[0]) \
+            | (visible > cfg.visibility[1])
+
+        # miss: sky and stop
+        color_miss = color * sky_color(env, direction)
+
+        upd = alive
+        hit = res.hit
+        color = jnp.where((upd & hit)[:, None], color_hit,
+                          jnp.where((upd & ~hit)[:, None], color_miss, color))
+        origin = _where(upd & hit, new_origin, origin)
+        direction = _where(upd & hit, new_dir, direction)
+        bounces = bounces + (upd & hit).astype(jnp.int32)
+        alive = alive & hit & ~stop_hit
+        return (origin, direction, color, alive, bounces), None
+
+    init = (rays.origin, rays.direction, rays.color,
+            jnp.ones((n,), bool), jnp.zeros((n,), jnp.int32))
+    (o, d, color, alive, bounces), _ = jax.lax.scan(
+        body, init, jnp.arange(max_bounce))
+    # paths still alive after max bounces contribute their current color
+    # (reference loop simply ends; throughput*emission already accumulated)
+    return TraceResult(color, bounces)
+
+
+def render_image(scene: Scene, env: Environment, cam: Camera,
+                 cfg: RenderConfig, spp: Optional[int] = None,
+                 sample_offset: int = 0, exposure=1.0,
+                 diffuse_only: bool = False, differentiable: bool = False,
+                 tonemapped: bool = True,
+                 roughness_fresnel: bool = True,
+                 restart_at_hit: bool = True) -> jax.Array:
+    """Offline still: average ``spp`` megakernel samples per pixel and
+    tonemap. The per-frame loop of ``bunny_sdf_glass.py:437-451`` /
+    ``cornell_box.py:346-379`` as one pure function. Returns (H, W, 3)
+    (row-major image; internal layout is x-major flat like the reference's
+    ``ij`` fields)."""
+    n = cfg.num_pixels
+    spp = spp if spp is not None else cfg.samples_per_pixel
+    pixel_id = jnp.arange(n, dtype=jnp.uint32)
+
+    def one_sample(accum, s):
+        u_cam = rnglib.uniform4(pixel_id, s, _S_CAMERA, cfg.seed)
+        uv = cameralib.pixel_uv(pixel_id, cfg.width, cfg.height,
+                                u_cam[0], u_cam[1])
+        rays = cameralib.get_ray(cam, uv, u_cam[2], u_cam[3])
+        out = megakernel_trace(scene, env, rays, pixel_id, s, cfg,
+                               diffuse_only=diffuse_only,
+                               differentiable=differentiable,
+                               roughness_fresnel=roughness_fresnel,
+                               restart_at_hit=restart_at_hit)
+        return accum + out.color, None
+
+    if differentiable:
+        # unrolled python loop (scan-of-custom-vjp is fine, but unrolling
+        # keeps backward memory proportional to spp only via rematerialization)
+        accum = jnp.zeros((n, 3))
+        for s in range(spp):
+            accum, _ = one_sample(accum, jnp.asarray(sample_offset + s))
+    else:
+        accum, _ = jax.lax.scan(
+            one_sample, jnp.zeros((n, 3)),
+            jnp.arange(sample_offset, sample_offset + spp))
+    mean = accum / spp
+    img = postlib.tonemap(mean, cfg, exposure) if tonemapped else mean
+    # flat x-major (W*H) -> (H, W, 3) with row 0 at top for PNG output
+    return jnp.transpose(img.reshape(cfg.width, cfg.height, 3),
+                         (1, 0, 2))[::-1]

@@ -1,0 +1,188 @@
+"""Enhanced sphere tracing (ray march).
+
+Reference: ``/root/reference/src/scene.py:59-84`` (over-relaxation w=1.6 with
+rollback, after erleuchtet.org "enhanced sphere tracing"; cone hit criterion
+``distance < t * PIXEL_RADIUS``), plus the variants catalogued in SURVEY.md
+§2.3.4: the relative-error criterion with cerr tracking
+(``cornell_box_v3/pathtracer.py:52-78``), the ``w -> 0.5 + 0.5*w`` rollback
+(``tokyo_ibl.py:256``), fixed-w marches (``bunny_sdf_glass.py:251``,
+``cornell_box_shortest.py:63-72``) and the absolute-precision hit test
+(``cornell_box.py:214-223``).
+
+TPU-native design (SURVEY.md §7.2.3): one ``lax.while_loop`` advances the
+*whole flat ray batch* in lock-step with per-lane active masks — the wavefront
+answer to march-count divergence. The loop exits when every lane has hit or
+escaped, or at ``max_raymarch``. Bookkeeping keeps the ray origin fixed and
+tracks the scalar ``t`` per lane (the v3 form); for the src/ engine the
+shading point is ``origin + t*direction``, identical to its in-place advanced
+origin.
+
+Gradients: reverse-mode AD through a 512-iteration march is hopeless
+(SURVEY.md §7.4.3); instead ``march`` detaches the loop and re-attaches
+gradients at the hit point via the implicit function theorem:
+``dt*/dθ = -(∂sdf/∂θ) / (∂sdf/∂t)`` — see ``_hit_t``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import HitCriterion, OmegaPolicy, RenderConfig
+from . import scene as scenelib
+from .scene import Scene
+
+
+class MarchResult(NamedTuple):
+    t: jax.Array         # (N,) hit parameter along the ray
+    position: jax.Array  # (N, 3) shading point (= at(t))
+    index: jax.Array     # (N,) i32 nearest-object index
+    hit: jax.Array       # (N,) bool
+    iters: jax.Array     # () i32 — loop trip count actually executed
+
+
+def _march_loop(scene: Scene, origin, direction, cfg: RenderConfig):
+    n = origin.shape[0]
+    dtype = origin.dtype
+    f = lambda v: jnp.full((n,), v, dtype)
+
+    class S(NamedTuple):
+        i: jax.Array
+        t: jax.Array
+        w: jax.Array
+        s: jax.Array
+        d: jax.Array
+        index: jax.Array
+        hit: jax.Array
+        done: jax.Array
+
+    state = S(
+        i=jnp.zeros((), jnp.int32),
+        t=f(cfg.march_t0),
+        w=f(cfg.omega),
+        s=f(0.0),
+        d=f(scenelib.MAX_DIS),
+        index=jnp.zeros((n,), jnp.int32),
+        hit=jnp.zeros((n,), bool),
+        done=jnp.zeros((n,), bool),
+    )
+
+    pixel_radius = dtype.type(cfg.pixel_radius) if hasattr(dtype, "type") \
+        else cfg.pixel_radius
+
+    def cond(st: S):
+        return (st.i < cfg.max_raymarch) & (~jnp.all(st.done))
+
+    def body(st: S) -> S:
+        pos = origin + st.t[:, None] * direction
+        index, d = scenelib.nearest(scene, pos)
+        ld = st.d
+
+        # Over-relaxation overstep detection: the two sphere bounds no longer
+        # overlap (src/scene.py:67: ``ld + distance < s``).
+        if cfg.omega_policy == OmegaPolicy.CONSTANT:
+            rollback = jnp.zeros_like(st.hit)
+            w_next = st.w
+        else:
+            rollback = (ld + d < st.s)
+            if cfg.omega_policy == OmegaPolicy.ROLLBACK_TO_ONE:
+                # src/scene.py:66-73 gates on w > 1.0
+                rollback = rollback & (st.w > 1.0)
+                w_next = jnp.where(rollback, 1.0, st.w)
+            else:  # ROLLBACK_HALF_UP; tokyo_ibl.py:253-256
+                w_next = jnp.where(rollback, 0.5 + 0.5 * st.w, st.w)
+
+        # rollback lane: step back by s*(w-1) and retry without a hit test
+        s_rb = st.s * (1.0 - st.w)
+        # normal lane: step forward by w*d
+        s_fwd = w_next * d
+
+        if cfg.hit_criterion == HitCriterion.CONE:
+            # src/scene.py:79 — t in the test includes the step just taken
+            hit_now = d < (st.t + s_fwd) * pixel_radius
+        elif cfg.hit_criterion == HitCriterion.RELATIVE:
+            # cornell_box_v3/pathtracer.py:68-74 — err against pre-step t
+            hit_now = d / jnp.maximum(st.t, 1e-12) < pixel_radius
+        else:  # ABSOLUTE; cornell_box.py:221, cornell_box_shortest.py:70
+            hit_now = d < cfg.hit_precision
+
+        active = ~st.done
+        step = jnp.where(rollback, s_rb, s_fwd)
+        t_new = jnp.where(active, st.t + step, st.t)
+        hit_new = jnp.where(active & ~rollback, hit_now, st.hit)
+        done_new = st.done | (active & ~rollback
+                              & (hit_now | (t_new >= cfg.max_dis)))
+
+        return S(
+            i=st.i + 1,
+            t=t_new,
+            w=jnp.where(active, w_next, st.w),
+            s=jnp.where(active, jnp.where(rollback, s_rb, s_fwd), st.s),
+            d=jnp.where(active, d, st.d),
+            index=jnp.where(active, index, st.index),
+            hit=hit_new,
+            done=done_new,
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    position = origin + st.t[:, None] * direction
+    return MarchResult(st.t, position, st.index, st.hit, st.i)
+
+
+@jax.custom_vjp
+def _hit_t(scene: Scene, origin, direction, t, index, hit):
+    """Identity on ``t`` with implicit-function gradients at the hit point.
+
+    For a hit lane, ``t*`` satisfies ``sdf(θ, origin + t* direction) ≈ 0``, so
+    ``dt*/dθ = -(∂f/∂θ)/(∂f/∂t)`` with ``∂f/∂t = ∇_p f · direction``
+    (SURVEY.md §7.4.3). Miss lanes get zero gradient.
+    """
+    return t
+
+
+def _hit_t_fwd(scene, origin, direction, t, index, hit):
+    return t, (scene, origin, direction, t, index, hit)
+
+
+def _hit_t_bwd(res, g):
+    scene, origin, direction, t, index, hit = res
+    p = origin + t[:, None] * direction
+
+    def f_scene(sc):
+        return scenelib.sd_object(sc, index, p)
+
+    grad_p = jax.grad(
+        lambda q: jnp.sum(scenelib.sd_object(scene, index, q)))(p)
+    dfdt = jnp.sum(grad_p * direction, axis=-1)
+    # Guard: a valid hit has |∂f/∂t| bounded away from 0 for non-grazing rays.
+    safe = jnp.where(jnp.abs(dfdt) > 1e-6, dfdt, jnp.sign(dfdt) * 1e-6 + 1e-12)
+    coeff = jnp.where(hit, -g / safe, 0.0)
+
+    _, vjp_scene = jax.vjp(f_scene, scene)
+    (d_scene,) = vjp_scene(coeff)
+    d_origin = coeff[:, None] * grad_p
+    d_direction = (coeff * t)[:, None] * grad_p
+    return d_scene, d_origin, d_direction, jnp.zeros_like(t), None, None
+
+
+_hit_t.defvjp(_hit_t_fwd, _hit_t_bwd)
+
+
+def march(scene: Scene, origin: jax.Array, direction: jax.Array,
+          cfg: RenderConfig, differentiable: bool = True) -> MarchResult:
+    """Sphere-trace a flat ray batch against the scene.
+
+    Returns the hit parameter/point/object per lane. When ``differentiable``,
+    gradients flow to scene parameters and ray origin/direction through the
+    implicit hit-point relation (the loop itself is detached).
+    """
+    res = _march_loop(
+        jax.lax.stop_gradient(scene),
+        jax.lax.stop_gradient(origin),
+        jax.lax.stop_gradient(direction), cfg)
+    if differentiable:
+        t = _hit_t(scene, origin, direction, res.t, res.index, res.hit)
+        position = origin + t[:, None] * direction
+        return MarchResult(t, position, res.index, res.hit, res.iters)
+    return res

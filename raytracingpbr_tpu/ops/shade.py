@@ -1,0 +1,115 @@
+"""Materials / BSDF shading.
+
+Reference: ``/root/reference/src/pbr.py`` — one fused stochastic interaction:
+roughness-lerped microfacet normal, Schlick Fresnel, stochastic lobe selection
+(reflect / refract / diffuse) and throughput update. The reference leaves
+``# ToDo: Removing if statements?`` (``src/pbr.py:47``); this implementation
+answers it: all three lobe outcomes are computed for the batch and selected
+with ``jnp.where`` — branchless, divergence-free VPU code (SURVEY.md §7.1).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import RenderConfig
+from ..core import rng as rnglib
+from ..core.math import dot, mix, normalize
+from . import scene as scenelib
+from .scene import Scene
+
+
+def fresnel_schlick(no_i: jax.Array, f0: jax.Array) -> jax.Array:
+    """Schlick approximation; ``src/pbr.py:12-13``:
+    ``mix(|1 + NoI|^5, 1, F0)``."""
+    return mix(jnp.abs(1.0 + no_i) ** 5, 1.0, f0)
+
+
+def fresnel_schlick_roughness(no_i, f0, roughness):
+    """Roughness-remapped Schlick used by the example megakernels
+    (``cornell_box.py:237-238``): ``mix(schlick, F0, roughness)``."""
+    return mix(fresnel_schlick(no_i, f0), f0, roughness)
+
+
+class Interaction(NamedTuple):
+    direction: jax.Array  # (N, 3) new ray direction
+    origin: jax.Array     # (N, 3) new ray origin (restart offset applied)
+    color_scale: jax.Array  # (N, 3) multiplicative throughput update (albedo)
+
+
+def ray_surface_interaction(
+    scene: Scene,
+    index: jax.Array,      # (N,) hit object per lane
+    position: jax.Array,   # (N, 3) shading point
+    direction: jax.Array,  # (N, 3) incident direction
+    u: tuple,              # 5 uniforms: (hemi1, hemi2, lobe1, lobe2, _)
+    cfg: RenderConfig,
+    roughness_fresnel: bool = False,
+    restart_at_hit: bool = False,
+) -> Interaction:
+    """Branchless port of ``ray_surface_interaction`` (``src/pbr.py:23-62``).
+
+    ``roughness_fresnel`` switches to the example-variant Fresnel
+    (SURVEY.md §7.5); ``restart_at_hit`` uses the examples' restart policy
+    (``origin = hit position``, ``cornell_box.py:287``) instead of the src/
+    engine's normal offset (``src/pbr.py:60``).
+    """
+    albedo = scene.albedo[index]
+    roughness = scene.roughness[index]
+    metallic = scene.metallic[index]
+    transmission = scene.transmission[index]
+    ior = scene.ior[index]
+
+    # Normal from the SDF gradient, flipped to face the incident ray
+    # (two-sided surfaces; src/pbr.py:30-32).
+    normal = scenelib.calc_normal(scene, index, position)
+    outer = dot(direction, normal) < 0.0
+    normal = jnp.where(outer[:, None], normal, -normal)
+
+    # Microfacet proxy: lerp the normal toward a cosine-hemisphere sample by
+    # alpha = roughness^2 (src/pbr.py:34-36).
+    alpha = (roughness * roughness)[:, None]
+    hemispheric = rnglib.hemispheric(normal, u[0], u[1])
+    rough_n = normalize(mix(normal, hemispheric, alpha))
+
+    i = direction
+    no_i = dot(rough_n, i)
+
+    env_ior = cfg.env_ior
+    eta = jnp.where(outer, env_ior / ior, ior / env_ior)
+    k = 1.0 - eta * eta * (1.0 - no_i * no_i)  # TIR when k < 0
+    f0 = 2.0 * (eta - 1.0) / (eta + 1.0)
+    f0 = f0 * f0
+    if roughness_fresnel:
+        fr = fresnel_schlick_roughness(no_i, f0, roughness)
+    else:
+        fr = fresnel_schlick(no_i, f0)
+
+    # --- all three lobe outcomes (branchless) ---
+    refl = i - 2.0 * no_i[:, None] * rough_n
+    # src/pbr.py:49-51 folds the reflected ray back above the true surface
+    refl_outer = dot(refl, normal) < 0.0
+    refl = jnp.where(refl_outer[:, None], -refl, refl)
+
+    k_safe = jnp.maximum(k, 0.0)
+    refr = eta[:, None] * i - (jnp.sqrt(k_safe) + eta * no_i)[:, None] * rough_n
+
+    # --- stochastic lobe selection (src/pbr.py:48-55) ---
+    take_reflect = (u[2] < fr + metallic) | (k < 0.0)
+    take_refract = (~take_reflect) & (u[3] < transmission)
+    new_dir = jnp.where(
+        take_reflect[:, None], refl,
+        jnp.where(take_refract[:, None], refr, hemispheric))
+
+    # Restart origin (src/pbr.py:58-60): offset along the true normal to
+    # whichever side the new direction leaves on.
+    if restart_at_hit:
+        new_origin = position
+    else:
+        leave_outer = dot(new_dir, normal) < 0.0
+        offs = jnp.where(leave_outer, -cfg.min_dis, cfg.min_dis)
+        new_origin = position + normal * offs[:, None]
+
+    return Interaction(new_dir, new_origin, albedo)
