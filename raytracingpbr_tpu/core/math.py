@@ -18,6 +18,19 @@ def brightness(rgb: jax.Array) -> jax.Array:
     return jnp.sum(rgb * w, axis=-1)
 
 
+def safe_norm(v: jax.Array, axis: int = -1) -> jax.Array:
+    """Euclidean norm with a well-defined (zero) gradient at ``v = 0``.
+
+    ``jnp.linalg.norm`` has a NaN gradient at the origin, which poisons
+    ``jnp.where``-selected SDF branches under reverse-mode AD (the classic
+    double-where problem) — every SDF distance formula routes through this.
+    """
+    sq = jnp.sum(v * v, axis=axis)
+    pos = sq > 0
+    safe = jnp.sqrt(jnp.where(pos, sq, 1.0))
+    return jnp.where(pos, safe, 0.0)
+
+
 def normalize(v: jax.Array, eps: float = 0.0) -> jax.Array:
     n = jnp.linalg.norm(v, axis=-1, keepdims=True)
     if eps:

@@ -84,15 +84,18 @@ class Scene:
     transmission: jax.Array  # (n,)
     ior: jax.Array           # (n,)
 
-    # --- shape ids as data, for gathered per-ray lookup ---
-    type_array: jax.Array    # (n,) int32
-
     # optional neural SDF params (bunny scenes)
     bunny: Optional[BunnyMLP] = None
 
     @property
     def num_objects(self) -> int:
         return len(self.shape_types)
+
+    @property
+    def type_array(self) -> jax.Array:
+        # Trace-time constant from the static type tuple — deliberately NOT a
+        # pytree leaf so jax.grad over a Scene sees only inexact leaves.
+        return jnp.asarray(self.shape_types, jnp.int32)
 
 
 def make_scene(objects: Sequence[ObjectSpec], box_round: float = 0.03,
@@ -137,7 +140,6 @@ def make_scene(objects: Sequence[ObjectSpec], box_round: float = 0.03,
         metallic=stack(lambda o: o.metallic),
         transmission=stack(lambda o: o.transmission),
         ior=stack(lambda o: o.ior),
-        type_array=jnp.asarray(types, jnp.int32),
         bunny=bunny,
     )
 

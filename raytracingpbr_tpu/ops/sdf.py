@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import struct
 
-from ..core.math import rotate_euler, radians
+from ..core.math import radians, rotate_euler, safe_norm
 
 MAX_DIS = 1e3  # src/config.py:23
 
@@ -46,7 +46,7 @@ def sd_none(p, s):
 
 def sd_sphere(p, s):
     """Sphere of radius ``s.x``; ``src/sdf.py:26-28``."""
-    return jnp.linalg.norm(p, axis=-1) - s[..., 0]
+    return safe_norm(p) - s[..., 0]
 
 
 def sd_round_box(p, s, round_radius=0.03):
@@ -58,7 +58,7 @@ def sd_round_box(p, s, round_radius=0.03):
     ``sd_box`` for the sharp variant.
     """
     q = jnp.abs(p) - s
-    outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+    outside = safe_norm(jnp.maximum(q, 0.0))
     inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
     return outside + inside - round_radius
 
@@ -70,16 +70,16 @@ def sd_box(p, s):
 
 def sd_cylinder(p, s):
     """Capped cylinder, radius ``s.x`` half-height ``s.y``; ``src/sdf.py:37-40``."""
-    dxz = jnp.linalg.norm(p[..., ::2], axis=-1)
+    dxz = safe_norm(p[..., ::2])
     d = jnp.stack([dxz, p[..., 1]], -1)
     d = jnp.abs(d) - s[..., :2]
     return (jnp.minimum(jnp.max(d, axis=-1), 0.0)
-            + jnp.linalg.norm(jnp.maximum(d, 0.0), axis=-1))
+            + safe_norm(jnp.maximum(d, 0.0)))
 
 
 def sd_cone(p, s):
     """Infinite cone bound; ``src/sdf.py:43-46`` (rh.xz as axis params)."""
-    q = jnp.linalg.norm(p[..., ::2], axis=-1)
+    q = safe_norm(p[..., ::2])
     d = s[..., 0] * q + s[..., 2] * p[..., 1]
     return jnp.maximum(d, -s[..., 1] - p[..., 1])
 
@@ -154,7 +154,7 @@ def sd_bunny(p: jax.Array, mlp: BunnyMLP | None = None,
     outside ``|p| > 1`` fall back to ``|p| - 0.8``."""
     if mlp is None:
         mlp = load_bunny(p.dtype)
-    r = jnp.linalg.norm(p, axis=-1)
+    r = safe_norm(p)
     inner = bunny_mlp_eval(mlp, p, matmul_dtype)
     return jnp.where(r > 1.0, r - 0.8, inner)
 
