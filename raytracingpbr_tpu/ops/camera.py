@@ -44,11 +44,12 @@ def get_ray(cam: Camera, uv: jax.Array, u1: jax.Array, u2: jax.Array,
     po = (lower_left + uv[:, :1] * 2.0 * hwfx + uv[:, 1:2] * 2.0 * hhfy)
     rd = normalize(po - ro)
 
-    n = uv.shape[0]
     if color is None:
-        color = jnp.ones((n, 3), uv.dtype)
+        # derive from uv (not a fresh constant) so the throughput carries
+        # the same varying-axis type as the ray data under shard_map
+        color = jnp.tile(uv[:, :1] * 0.0 + 1.0, (1, 3))
     return Rays(origin=ro, direction=rd, color=color,
-                depth=jnp.zeros((n,), jnp.int32))
+                depth=(uv[:, 0] * 0.0).astype(jnp.int32))
 
 
 def pixel_uv(pixel_id: jax.Array, width: int, height: int,

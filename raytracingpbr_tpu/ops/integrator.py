@@ -174,6 +174,18 @@ def render_frame(scene: Scene, env: Environment, cam: Camera,
 
     ``refreshing`` may be a Python or traced bool (camera moved).
     """
+    pixel_id = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+    return render_frame_tile(scene, env, cam, state, cfg, pixel_id,
+                             refreshing=refreshing, exposure=exposure)
+
+
+def render_frame_tile(scene: Scene, env: Environment, cam: Camera,
+                      state: FrameState, cfg: RenderConfig,
+                      pixel_id: jax.Array, refreshing=False, exposure=1.0):
+    """``render_frame`` over an explicit pixel tile: ``state`` leaves are
+    sized to ``pixel_id`` (a shard of the global pixel ids). This is the
+    per-device body of the sharded renderer — global pixel ids keep the
+    counter RNG identical to the single-device render (SURVEY.md §7.4.4)."""
     refreshed = refresh(state)
     is_r = jnp.asarray(refreshing)
     state = jax.tree.map(
@@ -181,8 +193,6 @@ def render_frame(scene: Scene, env: Environment, cam: Camera,
             jnp.reshape(is_r, (1,) * a.ndim) if a.ndim else is_r, a, b),
         refreshed, state)
 
-    n = cfg.num_pixels
-    pixel_id = jnp.arange(n, dtype=jnp.uint32)
     rays, accum = state.rays, state.accum
     # Monotone RNG counter: the frame index times steps-per-frame. ``frame``
     # is never reset by refresh() (src/camera.py:112 increments it
@@ -296,8 +306,11 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
         alive = alive & hit & ~stop_hit
         return (origin, direction, color, alive, bounces), None
 
+    # derive mask/counter inits from the ray arrays so they carry the same
+    # varying-axis type under shard_map (see ops/march.py note)
+    zero = rays.origin[:, 0] * 0.0
     init = (rays.origin, rays.direction, rays.color,
-            jnp.ones((n,), bool), jnp.zeros((n,), jnp.int32))
+            zero < 1.0, zero.astype(jnp.int32))
     (o, d, color, alive, bounces), _ = jax.lax.scan(
         body, init, jnp.arange(max_bounce))
     # paths still alive after max bounces contribute their current color

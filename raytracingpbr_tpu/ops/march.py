@@ -45,7 +45,11 @@ class MarchResult(NamedTuple):
 def _march_loop(scene: Scene, origin, direction, cfg: RenderConfig):
     n = origin.shape[0]
     dtype = origin.dtype
-    f = lambda v: jnp.full((n,), v, dtype)
+    # Derive loop-carry inits from the ray arrays (not fresh constants) so
+    # they inherit the sharding/varying-axis type under shard_map — a fresh
+    # jnp.full would be "unvarying" and trip the scan/while vma check.
+    zero = origin[:, 0] * 0.0
+    f = lambda v: zero + dtype.type(v)
 
     class S(NamedTuple):
         i: jax.Array
@@ -63,9 +67,9 @@ def _march_loop(scene: Scene, origin, direction, cfg: RenderConfig):
         w=f(cfg.omega),
         s=f(0.0),
         d=f(scenelib.MAX_DIS),
-        index=jnp.zeros((n,), jnp.int32),
-        hit=jnp.zeros((n,), bool),
-        done=jnp.zeros((n,), bool),
+        index=zero.astype(jnp.int32),
+        hit=zero > 1.0,
+        done=zero > 1.0,
     )
 
     pixel_radius = dtype.type(cfg.pixel_radius) if hasattr(dtype, "type") \
