@@ -253,6 +253,7 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
 
     def body(carry, i):
         origin, direction, color, alive, bounces = carry
+        i = jnp.asarray(i, jnp.int32)
         counter = jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(
             max_bounce) + i.astype(jnp.uint32)
 
@@ -311,8 +312,27 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
     zero = rays.origin[:, 0] * 0.0
     init = (rays.origin, rays.direction, rays.color,
             zero < 1.0, zero.astype(jnp.int32))
-    (o, d, color, alive, bounces), _ = jax.lax.scan(
-        body, init, jnp.arange(max_bounce))
+    if differentiable:
+        # reverse-mode AD needs a fixed-trip scan (while_loop has no
+        # transpose); bounded bounce budgets keep this cheap
+        (o, d, color, alive, bounces), _ = jax.lax.scan(
+            body, init, jnp.arange(max_bounce))
+    else:
+        # forward renders exit as soon as every lane has terminated — with
+        # roulette + brightness termination the whole batch usually dies
+        # long before max_raytrace (the GPU megakernel's per-thread `break`,
+        # SURVEY.md §3.2, recovered at batch granularity)
+        def w_cond(c):
+            i, carry = c
+            return (i < max_bounce) & jnp.any(carry[3])
+
+        def w_body(c):
+            i, carry = c
+            carry, _ = body(carry, i)
+            return i + 1, carry
+
+        _, (o, d, color, alive, bounces) = jax.lax.while_loop(
+            w_cond, w_body, (jnp.zeros((), jnp.int32), init))
     # paths still alive after max bounces contribute their current color
     # (reference loop simply ends; throughput*emission already accumulated)
     return TraceResult(color, bounces)
@@ -355,7 +375,8 @@ def render_image(scene: Scene, env: Environment, cam: Camera,
     else:
         accum, _ = jax.lax.scan(
             one_sample, jnp.zeros((n, 3)),
-            jnp.arange(sample_offset, sample_offset + spp))
+            jnp.asarray(sample_offset, jnp.uint32)
+            + jnp.arange(spp, dtype=jnp.uint32))
     mean = accum / spp
     img = postlib.tonemap(mean, cfg, exposure) if tonemapped else mean
     # flat x-major (W*H) -> (H, W, 3) with row 0 at top for PNG output

@@ -173,18 +173,43 @@ def _hit_t_bwd(res, g):
 _hit_t.defvjp(_hit_t_fwd, _hit_t_bwd)
 
 
+def _use_pallas(scene: Scene, backend: str) -> bool:
+    if backend == "xla":
+        return False
+    if backend == "pallas":
+        return True
+    # auto: fused Pallas kernel on TPU-like backends for primitive scenes
+    # (the neural bunny keeps the XLA path until the MLP kernel lands)
+    return (scene.bunny is None
+            and jax.default_backend() not in ("cpu", "gpu"))
+
+
 def march(scene: Scene, origin: jax.Array, direction: jax.Array,
-          cfg: RenderConfig, differentiable: bool = True) -> MarchResult:
+          cfg: RenderConfig, differentiable: bool = True,
+          backend: str = "auto") -> MarchResult:
     """Sphere-trace a flat ray batch against the scene.
 
     Returns the hit parameter/point/object per lane. When ``differentiable``,
     gradients flow to scene parameters and ray origin/direction through the
-    implicit hit-point relation (the loop itself is detached).
+    implicit hit-point relation (the loop itself is detached) — gradient
+    correctness is independent of which forward backend found the hit.
+
+    ``backend``: "auto" (Pallas fused kernel on TPU, XLA elsewhere),
+    "pallas", or "xla".
     """
-    res = _march_loop(
-        jax.lax.stop_gradient(scene),
-        jax.lax.stop_gradient(origin),
-        jax.lax.stop_gradient(direction), cfg)
+    if _use_pallas(scene, backend):
+        from ..pallas.march_kernel import march_pallas
+        t, index, hit = march_pallas(
+            jax.lax.stop_gradient(scene),
+            jax.lax.stop_gradient(origin),
+            jax.lax.stop_gradient(direction), cfg)
+        res = MarchResult(t, origin + t[:, None] * direction, index, hit,
+                          jnp.zeros((), jnp.int32))
+    else:
+        res = _march_loop(
+            jax.lax.stop_gradient(scene),
+            jax.lax.stop_gradient(origin),
+            jax.lax.stop_gradient(direction), cfg)
     if differentiable:
         t = _hit_t(scene, origin, direction, res.t, res.index, res.hit)
         position = origin + t[:, None] * direction

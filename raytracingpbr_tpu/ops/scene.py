@@ -196,7 +196,11 @@ def nearest(scene: Scene, p: jax.Array):
     """
     d = jnp.abs(all_distances(scene, p))
     idx = jnp.argmin(d, axis=-1).astype(jnp.int32)
-    return idx, jnp.min(d, axis=-1)
+    # The reference's running-min starts at MAX_DIS (src/scene.py:45), so
+    # the returned distance is clamped there — relevant only to escaped
+    # rays' step sizes, but kept for exact three-way parity (XLA / Pallas /
+    # numpy oracle).
+    return idx, jnp.minimum(jnp.min(d, axis=-1), MAX_DIS)
 
 
 def sd_object(scene: Scene, idx: jax.Array, p: jax.Array) -> jax.Array:

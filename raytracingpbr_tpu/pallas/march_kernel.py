@@ -1,0 +1,244 @@
+"""Pallas TPU kernel: fused enhanced-sphere-trace march.
+
+The XLA march (``ops/march.py``) advances the whole flat ray batch in
+lock-step, so one straggler ray keeps every lane marching — batch-global
+divergence. This kernel restores divergence *locality* (SURVEY.md §7.4.1,
+§7.2.10): the grid splits rays into (8, 128) register-shaped tiles, each grid
+program runs its own march loop and exits as soon as *its* tile converges.
+With hit distributions that vary across the screen this is the difference
+between paying max-iters globally and paying it per ~1k-ray tile.
+
+Scene representation: the same static-type-bucket idea as
+``ops/scene.all_distances`` — the object loop is unrolled in Python at trace
+time over a packed (n_obj, 16) parameter block resident in VMEM:
+``[position(3), scale(3), rotation matrix rows(9), pad]``. Shape types come
+from the static scene metadata. All math is elementwise on (8, 128) arrays —
+native VPU shape; no gathers, no dynamic indexing.
+
+The march semantics mirror ``ops/march.py`` exactly (same omega policies and
+hit criteria, reference ``src/scene.py:59-84``); parity is asserted in
+tests/test_pallas.py on the interpreter and in the TPU smoke bench.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import HitCriterion, OmegaPolicy, RenderConfig
+from ..ops.scene import Scene
+from ..ops.sdf import SHAPE
+
+# ray tile: 8 sublanes x 128 lanes (f32 native tile)
+TILE_ROWS = 8
+TILE_COLS = 128
+TILE = TILE_ROWS * TILE_COLS
+
+
+def pack_scene(scene: Scene) -> jax.Array:
+    """Pack per-object transform params into an (n, 16) f32 block:
+    [pos(3), scale(3), mat row-major (9), 0]."""
+    n = scene.num_objects
+    mat = scene.matrix.reshape(n, 9)
+    pad = jnp.zeros((n, 1), scene.position.dtype)
+    return jnp.concatenate(
+        [scene.position, scene.scale, mat, pad], axis=-1)
+
+
+def _sd_tile(type_id: int, px, py, pz, sx, sy, sz, box_round: float):
+    """Distance of one object type for a tile of local points (8, 128).
+
+    Same formulas as ops/sdf.py (iquilezles), expressed on unpacked
+    coordinates (scalars sx/sy/sz are this object's scale components).
+    """
+    t = SHAPE(type_id)
+    if t == SHAPE.SPHERE:
+        return jnp.sqrt(px * px + py * py + pz * pz) - sx
+    if t == SHAPE.BOX:
+        qx = jnp.abs(px) - sx
+        qy = jnp.abs(py) - sy
+        qz = jnp.abs(pz) - sz
+        ox = jnp.maximum(qx, 0.0)
+        oy = jnp.maximum(qy, 0.0)
+        oz = jnp.maximum(qz, 0.0)
+        outside = jnp.sqrt(ox * ox + oy * oy + oz * oz)
+        inside = jnp.minimum(jnp.maximum(qx, jnp.maximum(qy, qz)), 0.0)
+        return outside + inside - box_round
+    if t == SHAPE.CYLINDER:
+        dx = jnp.abs(jnp.sqrt(px * px + pz * pz)) - sx
+        dy = jnp.abs(py) - sy
+        mx = jnp.maximum(dx, 0.0)
+        my = jnp.maximum(dy, 0.0)
+        return (jnp.minimum(jnp.maximum(dx, dy), 0.0)
+                + jnp.sqrt(mx * mx + my * my))
+    if t == SHAPE.CONE:
+        q = jnp.sqrt(px * px + pz * pz)
+        return jnp.maximum(sx * q + sz * py, -sy - py)
+    if t == SHAPE.PLANE:
+        return py - sy
+    # SHAPE.NONE
+    return jnp.full_like(px, 1e3)
+
+
+def _nearest_tile(scene_types, params_ref, x, y, z, box_round):
+    """Unrolled min over |sd_i| for a tile of world points. Returns
+    (min_dis, index) as (8, 128) arrays."""
+    best = jnp.full_like(x, 1e3)
+    idx = jnp.zeros_like(x, dtype=jnp.int32)
+    for i, t in enumerate(scene_types):
+        pr = params_ref[i]
+        # object space: translate then rotate (src/sdf.py:64-68)
+        tx = x - pr[0]
+        ty = y - pr[1]
+        tz = z - pr[2]
+        px = pr[6] * tx + pr[7] * ty + pr[8] * tz
+        py = pr[9] * tx + pr[10] * ty + pr[11] * tz
+        pz = pr[12] * tx + pr[13] * ty + pr[14] * tz
+        d = jnp.abs(_sd_tile(t, px, py, pz, pr[3], pr[4], pr[5], box_round))
+        take = d < best
+        idx = jnp.where(take, i, idx)
+        best = jnp.where(take, d, best)
+    return best, idx
+
+
+def _march_kernel(params_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
+                  dz_ref, t_ref, idx_ref, hit_ref, *,
+                  scene_types: Tuple[int, ...], cfg, box_round: float):
+    ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
+    dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
+
+    pixel_radius = cfg.pixel_radius
+    w0 = cfg.omega
+    rollback_allowed = cfg.omega_policy != OmegaPolicy.CONSTANT
+
+    def cond(st):
+        i, t, w, s, d, idx, hit, done = st
+        return (i < cfg.max_raymarch) & (~jnp.all(done))
+
+    def body(st):
+        i, t, w, s, d, idx, hit, done = st
+        x = ox + t * dx
+        y = oy + t * dy
+        z = oz + t * dz
+        dist, index = _nearest_tile(scene_types, params_ref, x, y, z,
+                                    box_round)
+        ld = d
+
+        if not rollback_allowed:
+            rollback = jnp.zeros_like(hit)
+            w_next = w
+        else:
+            rollback = ld + dist < s
+            if cfg.omega_policy == OmegaPolicy.ROLLBACK_TO_ONE:
+                rollback = rollback & (w > 1.0)
+                w_next = jnp.where(rollback, 1.0, w)
+            else:
+                w_next = jnp.where(rollback, 0.5 + 0.5 * w, w)
+
+        s_rb = s * (1.0 - w)
+        s_fwd = w_next * dist
+
+        if cfg.hit_criterion == HitCriterion.CONE:
+            hit_now = dist < (t + s_fwd) * pixel_radius
+        elif cfg.hit_criterion == HitCriterion.RELATIVE:
+            hit_now = dist / jnp.maximum(t, 1e-12) < pixel_radius
+        else:
+            hit_now = dist < cfg.hit_precision
+
+        active = ~done
+        step = jnp.where(rollback, s_rb, s_fwd)
+        t_new = jnp.where(active, t + step, t)
+        hit_new = jnp.where(active & ~rollback, hit_now, hit)
+        done_new = done | (active & ~rollback
+                           & (hit_now | (t_new >= cfg.max_dis)))
+        return (i + 1,
+                t_new,
+                jnp.where(active, w_next, w),
+                jnp.where(active, step, s),
+                jnp.where(active, dist, d),
+                jnp.where(active, index, idx),
+                hit_new,
+                done_new)
+
+    shape = ox.shape
+    f = lambda v: jnp.full(shape, v, ox.dtype)
+    st = jax.lax.while_loop(cond, body, (
+        jnp.zeros((), jnp.int32),
+        f(cfg.march_t0),
+        f(w0),
+        f(0.0),
+        f(1e3),
+        jnp.zeros(shape, jnp.int32),
+        jnp.zeros(shape, dtype=jnp.bool_),
+        jnp.zeros(shape, dtype=jnp.bool_),
+    ))
+    _, t, w, s, d, idx, hit, done = st
+    t_ref[:] = t
+    idx_ref[:] = idx
+    hit_ref[:] = hit.astype(jnp.int32)
+
+
+def _pad_to_tile(x: jax.Array) -> Tuple[jax.Array, int]:
+    n = x.shape[0]
+    pad = (-n) % TILE
+    if pad:
+        x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
+    return x, n
+
+
+@functools.partial(jax.jit, static_argnames=("scene_types", "box_round",
+                                             "cfg"))
+def _march_pallas_impl(params, origin, direction, scene_types, box_round,
+                       cfg: RenderConfig):
+    o_pad, n = _pad_to_tile(origin)
+    d_pad, _ = _pad_to_tile(direction)
+    num = o_pad.shape[0]
+    tiles = num // TILE
+    shape3 = (tiles, TILE_ROWS, TILE_COLS)
+
+    def split(v):
+        return [v[:, k].reshape(shape3) for k in range(3)]
+
+    ox, oy, oz = split(o_pad)
+    dx, dy, dz = split(d_pad)
+
+    kernel = functools.partial(_march_kernel, scene_types=scene_types,
+                               cfg=cfg, box_round=box_round)
+
+    tile_spec = pl.BlockSpec((1, TILE_ROWS, TILE_COLS),
+                             lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    t, idx, hit = pl.pallas_call(
+        kernel,
+        grid=(tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [tile_spec] * 6,
+        out_specs=[tile_spec] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct(shape3, jnp.float32),
+            jax.ShapeDtypeStruct(shape3, jnp.int32),
+            jax.ShapeDtypeStruct(shape3, jnp.int32),
+        ],
+    )(params, ox, oy, oz, dx, dy, dz)
+
+    t = t.reshape(num)[:n]
+    idx = idx.reshape(num)[:n]
+    hit = hit.reshape(num)[:n].astype(bool)
+    return t, idx, hit
+
+
+def march_pallas(scene: Scene, origin: jax.Array, direction: jax.Array,
+                 cfg: RenderConfig):
+    """Fused-march entry: returns ``(t, index, hit)`` matching
+    ``ops.march._march_loop`` for primitive-only scenes.
+
+    Neural (bunny) scenes fall back to the XLA path — handled by the caller.
+    """
+    params = pack_scene(scene)
+    return _march_pallas_impl(params, origin, direction,
+                              tuple(scene.shape_types),
+                              float(scene.box_round), cfg)

@@ -1,0 +1,64 @@
+"""Pallas fused-march kernel parity vs the XLA march (interpreter mode on
+CPU; the TPU path is exercised by bench.py on hardware)."""
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracingpbr_tpu.config import HitCriterion, OmegaPolicy, RenderConfig
+from raytracingpbr_tpu.models import cornell, demo
+from raytracingpbr_tpu.ops import march as ml
+from raytracingpbr_tpu.pallas import march_kernel as mk
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    """Run pallas_call in interpreter mode (no TPU in CI)."""
+    from jax.experimental import pallas as pl
+    orig = pl.pallas_call
+    monkeypatch.setattr(pl, "pallas_call",
+                        functools.partial(orig, interpret=True))
+
+
+def rays_for(cfg, n=mk.TILE):
+    rng = np.random.default_rng(0)
+    o = np.tile([[0.0, 0.0, 3.5]], (n, 1)) + rng.normal(0, 0.2, (n, 3))
+    d = rng.normal(size=(n, 3))
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return jnp.asarray(o, jnp.float32), jnp.asarray(d, jnp.float32)
+
+
+@pytest.mark.parametrize("scene_fn,cfg", [
+    (cornell.minimal_scene, cornell.minimal_config()),
+    (demo.engine_scene, demo.engine_config().replace(max_raymarch=128)),
+])
+def test_pallas_march_matches_xla(scene_fn, cfg):
+    scene = scene_fn()
+    o, d = rays_for(cfg)
+    ref = ml.march(scene, o, d, cfg, differentiable=False)
+    t, idx, hit = mk.march_pallas(scene, o, d, cfg)
+    h_ref = np.array(ref.hit)
+    h_pl = np.array(hit)
+    agree = (h_ref == h_pl)
+    assert agree.mean() > 0.999, f"hit mismatch {1-agree.mean():.4%}"
+    # f32 accumulation-order differences flip boundary decisions on a few
+    # lanes of long marches; allow small relative slack
+    np.testing.assert_allclose(np.array(t)[agree], np.array(ref.t)[agree],
+                               rtol=1e-3, atol=1e-3)
+    both_hit = h_ref & h_pl
+    np.testing.assert_array_equal(np.array(idx)[both_hit],
+                                  np.array(ref.index)[both_hit])
+
+
+def test_pallas_march_padding():
+    """Non-multiple-of-TILE batches are padded and unpadded correctly."""
+    scene = cornell.minimal_scene()
+    cfg = cornell.minimal_config()
+    o, d = rays_for(cfg, n=777)
+    t, idx, hit = mk.march_pallas(scene, o, d, cfg)
+    assert t.shape == (777,)
+    ref = ml.march(scene, o, d, cfg, differentiable=False)
+    agree = np.array(hit) == np.array(ref.hit)
+    assert agree.mean() > 0.995
