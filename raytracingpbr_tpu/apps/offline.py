@@ -1,0 +1,113 @@
+"""Offline batch renderer: the reference's animation loop
+(``bunny_sdf_glass.py:437-451``: refresh -> N sample passes -> tonemap ->
+PNG per frame) as a checkpointable pipeline.
+
+Usage:
+    python -m raytracingpbr_tpu.apps.offline --scene bunny_glass \
+        --frames 240 --spp 64 --out out/ --scale 4
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import RenderConfig
+from ..core.types import Camera
+from ..io import image as imageio
+from ..ops import integrator as integ
+from ..ops.ibl import Environment
+from ..ops.scene import Scene
+from ..utils.profiling import MetricsLogger
+
+
+def render_animation(scene_fn, env: Environment, cam: Camera,
+                     cfg: RenderConfig, frames: int, spp: int,
+                     out_dir: str, start_frame: int = 0,
+                     metrics_path: str | None = None,
+                     **trace_kw) -> None:
+    """Render ``frames`` stills; ``scene_fn(frame) -> Scene`` supplies the
+    per-frame animated scene (``ops.scene.animate``)."""
+    os.makedirs(out_dir, exist_ok=True)
+    log = MetricsLogger(metrics_path)
+
+    @jax.jit
+    def one_frame(scene, frame_idx):
+        return integ.render_image(
+            scene, env, cam, cfg, spp=spp,
+            sample_offset=frame_idx * jnp.uint32(spp), **trace_kw)
+
+    for f in range(start_frame, frames):
+        t0 = time.time()
+        scene = scene_fn(f)
+        img = np.asarray(one_frame(scene, jnp.uint32(f)))
+        dt = time.time() - t0
+        path = os.path.join(out_dir, f"frame_{f:05d}.png")
+        imageio.write_png(path, img)
+        log.log(frame=f, dt=round(dt, 4),
+                samples_per_s=cfg.num_pixels * spp / max(dt, 1e-9))
+        print(f"frame {f}/{frames}: {dt:.2f}s -> {path}", flush=True)
+    log.close()
+
+
+def main(argv=None):
+    from ..models import bunny, cornell, demo
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scene", default="bunny_glass",
+                   choices=["bunny_glass", "bunny_metal", "cornell",
+                            "cornell_minimal", "demo"])
+    p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--spp", type=int, default=16)
+    p.add_argument("--scale", type=int, default=4,
+                   help="resolution divisor vs the reference workload")
+    p.add_argument("--out", default="out")
+    p.add_argument("--metrics", default=None)
+    args = p.parse_args(argv)
+
+    if args.scene == "bunny_glass":
+        base = bunny.glass_scene()
+        cfg = bunny.glass_config(scale=args.scale)
+        cam = bunny.camera(cfg.width / cfg.height)
+        env = bunny.glass_environment()
+        scene_fn = lambda f: bunny.animated_scene(base, f)
+        kw = {}
+    elif args.scene == "bunny_metal":
+        base = bunny.metal_scene()
+        cfg = bunny.metal_config(scale=args.scale)
+        cam = bunny.camera(cfg.width / cfg.height)
+        env = bunny.glass_environment()
+        scene_fn = lambda f: bunny.animated_scene(base, f)
+        kw = {}
+    elif args.scene == "cornell":
+        s = cornell.full_scene()
+        cfg = cornell.full_config()
+        cam = cornell.full_camera()
+        env = cornell.sky()
+        scene_fn = lambda f: s
+        kw = dict(exposure=0.6)
+    elif args.scene == "cornell_minimal":
+        s = cornell.minimal_scene()
+        cfg = cornell.minimal_config()
+        cam = cornell.minimal_camera()
+        env = cornell.sky()
+        scene_fn = lambda f: s
+        kw = dict(diffuse_only=True)
+    else:
+        s = demo.engine_scene()
+        cfg = demo.engine_config()
+        cam = demo.engine_camera()
+        env = demo.engine_environment()
+        scene_fn = lambda f: s
+        kw = {}
+
+    render_animation(scene_fn, env, cam, cfg, args.frames, args.spp,
+                     args.out, metrics_path=args.metrics, **kw)
+
+
+if __name__ == "__main__":
+    main()

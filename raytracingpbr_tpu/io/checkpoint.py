@@ -1,0 +1,65 @@
+"""Checkpoint / resume for progressive renders.
+
+New component (SURVEY.md §5 "Failure detection"): TPU pods preempt, so
+multi-hour progressive/animation renders persist (framebuffer accumulator,
+wavefront ray state, frame counter) and resume *bit-exactly* — possible
+because every random draw derives from the (pixel, frame-counter) RNG
+counters, never from hidden state (ops/core/rng.py).
+
+Format: a single .npz per checkpoint with the FrameState leaves + metadata,
+written atomically (tmp + rename). No orbax dependency — the state is a flat
+handful of arrays and np.savez is robust and portable.
+"""
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..core.types import FrameState, Rays
+
+
+def save(path: str, state: FrameState, meta: Optional[dict] = None) -> None:
+    """Atomically persist a FrameState (host-gathers sharded leaves)."""
+    leaves = {
+        "origin": state.rays.origin,
+        "direction": state.rays.direction,
+        "color": state.rays.color,
+        "depth": state.rays.depth,
+        "accum": state.accum,
+        "frame": state.frame,
+        "diff_accum": state.diff_accum,
+        "noise": state.noise,
+        "pixels": state.pixels,
+    }
+    host = {k: np.asarray(jax.device_get(v)) for k, v in leaves.items()}
+    host["_meta"] = np.frombuffer(
+        json.dumps(meta or {}).encode(), dtype=np.uint8)
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **host)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def load(path: str) -> Tuple[FrameState, dict]:
+    """Load a checkpoint; returns (state, meta)."""
+    with np.load(path) as z:
+        rays = Rays(origin=z["origin"], direction=z["direction"],
+                    color=z["color"], depth=z["depth"])
+        state = FrameState(
+            rays=jax.tree.map(lambda x: x, rays),
+            accum=z["accum"], frame=z["frame"],
+            diff_accum=z["diff_accum"], noise=z["noise"],
+            pixels=z["pixels"])
+        meta = json.loads(bytes(z["_meta"]).decode()) if "_meta" in z else {}
+    return jax.tree.map(lambda x: np.asarray(x), state), meta

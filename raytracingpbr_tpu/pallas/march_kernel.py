@@ -116,9 +116,11 @@ def _march_kernel(params_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
     w0 = cfg.omega
     rollback_allowed = cfg.omega_policy != OmegaPolicy.CONSTANT
 
+    # Masks live in the loop carry as int32 (0/1) — Mosaic does not lower
+    # i1 vectors in while-loop carries ("unsupported target bitwidth").
     def cond(st):
         i, t, w, s, d, idx, hit, done = st
-        return (i < cfg.max_raymarch) & (~jnp.all(done))
+        return (i < cfg.max_raymarch) & (jnp.min(done) < 1)
 
     def body(st):
         i, t, w, s, d, idx, hit, done = st
@@ -130,7 +132,7 @@ def _march_kernel(params_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
         ld = d
 
         if not rollback_allowed:
-            rollback = jnp.zeros_like(hit)
+            rollback = jnp.zeros_like(t) > 1.0
             w_next = w
         else:
             rollback = ld + dist < s
@@ -150,12 +152,14 @@ def _march_kernel(params_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
         else:
             hit_now = dist < cfg.hit_precision
 
-        active = ~done
+        active = done < 1
+        upd = active & (~rollback)
         step = jnp.where(rollback, s_rb, s_fwd)
         t_new = jnp.where(active, t + step, t)
-        hit_new = jnp.where(active & ~rollback, hit_now, hit)
-        done_new = done | (active & ~rollback
-                           & (hit_now | (t_new >= cfg.max_dis)))
+        hit_new = jnp.where(upd, hit_now.astype(jnp.int32), hit)
+        done_new = jnp.maximum(
+            done,
+            (upd & (hit_now | (t_new >= cfg.max_dis))).astype(jnp.int32))
         return (i + 1,
                 t_new,
                 jnp.where(active, w_next, w),
@@ -174,13 +178,13 @@ def _march_kernel(params_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
         f(0.0),
         f(1e3),
         jnp.zeros(shape, jnp.int32),
-        jnp.zeros(shape, dtype=jnp.bool_),
-        jnp.zeros(shape, dtype=jnp.bool_),
+        jnp.zeros(shape, jnp.int32),
+        jnp.zeros(shape, jnp.int32),
     ))
     _, t, w, s, d, idx, hit, done = st
     t_ref[:] = t
     idx_ref[:] = idx
-    hit_ref[:] = hit.astype(jnp.int32)
+    hit_ref[:] = hit
 
 
 def _pad_to_tile(x: jax.Array) -> Tuple[jax.Array, int]:
