@@ -178,10 +178,9 @@ def _use_pallas(scene: Scene, backend: str) -> bool:
         return False
     if backend == "pallas":
         return True
-    # auto: fused Pallas kernel on TPU-like backends for primitive scenes
-    # (the neural bunny keeps the XLA path until the MLP kernel lands)
-    return (scene.bunny is None
-            and jax.default_backend() not in ("cpu", "gpu"))
+    # auto: fused Pallas kernel (incl. the neural-bunny MLP) on TPU-like
+    # backends; XLA loop on cpu/gpu
+    return jax.default_backend() not in ("cpu", "gpu")
 
 
 def march(scene: Scene, origin: jax.Array, direction: jax.Array,

@@ -41,13 +41,53 @@ TILE = TILE_ROWS * TILE_COLS
 
 
 def pack_scene(scene: Scene) -> jax.Array:
-    """Pack per-object transform params into an (n, 16) f32 block:
-    [pos(3), scale(3), mat row-major (9), 0]."""
+    """Pack per-object transform params into an (n, 32) f32 block:
+    [pos(3), scale(3), mat row-major (9), local_offset(3), pad(14)]."""
     n = scene.num_objects
     mat = scene.matrix.reshape(n, 9)
-    pad = jnp.zeros((n, 1), scene.position.dtype)
+    pad = jnp.zeros((n, 14), scene.position.dtype)
     return jnp.concatenate(
-        [scene.position, scene.scale, mat, pad], axis=-1)
+        [scene.position, scene.scale, mat, scene.local_offset, pad],
+        axis=-1)
+
+
+def pack_bunny(scene: Scene) -> jax.Array:
+    """Pack the bunny MLP weights into a (40, 16) f32 block for static
+    in-kernel indexing: rows 0-2 w_in, 3 b_in, 4-19 w_h1, 20 b_h1,
+    21-36 w_h2, 37 b_h2, 38 w_out, 39 [bias_out, 0...]."""
+    b = scene.bunny
+    last = jnp.zeros((1, 16), b.w_in.dtype).at[0, 0].set(b.bias_out)
+    return jnp.concatenate([
+        b.w_in, b.b_in[None], b.w_h1, b.b_h1[None], b.w_h2, b.b_h2[None],
+        b.w_out[None], last], axis=0)
+
+
+def _bunny_tile(wref, px, py, pz):
+    """Sin-MLP bunny SDF on an (8, 128) tile — the two 16-wide hidden
+    layers unrolled as VPU FMA chains (a 16x16 contraction is far below
+    MXU-efficient size; the unroll keeps everything in vector registers).
+    Math identical to ops/sdf.bunny_mlp_eval (bunny_sdf_glass.py:150-203).
+    """
+    f0 = [jnp.sin(px * wref[0, k] + py * wref[1, k] + pz * wref[2, k]
+                  + wref[3, k]) for k in range(16)]
+    f1 = []
+    for k in range(16):
+        acc = f0[0] * wref[4, k]
+        for j in range(1, 16):
+            acc = acc + f0[j] * wref[4 + j, k]
+        f1.append(jnp.sin(acc + wref[20, k]) + f0[k])
+    f2 = []
+    for k in range(16):
+        acc = f1[0] * wref[21, k]
+        for j in range(1, 16):
+            acc = acc + f1[j] * wref[21 + j, k]
+        f2.append(jnp.sin(acc + wref[37, k]) * (1.0 / 1.4) + f1[k])
+    sd = f2[0] * wref[38, 0]
+    for k in range(1, 16):
+        sd = sd + f2[k] * wref[38, k]
+    sd = sd + wref[39, 0]
+    r = jnp.sqrt(px * px + py * py + pz * pz)
+    return jnp.where(r > 1.0, r - 0.8, sd)
 
 
 def _sd_tile(type_id: int, px, py, pz, sx, sy, sz, box_round: float):
@@ -85,30 +125,42 @@ def _sd_tile(type_id: int, px, py, pz, sx, sy, sz, box_round: float):
     return jnp.full_like(px, 1e3)
 
 
-def _nearest_tile(scene_types, params_ref, x, y, z, box_round):
+def _nearest_tile(scene_types, params_ref, x, y, z, box_round,
+                  bunny_ref=None):
     """Unrolled min over |sd_i| for a tile of world points. Returns
     (min_dis, index) as (8, 128) arrays."""
     best = jnp.full_like(x, 1e3)
     idx = jnp.zeros_like(x, dtype=jnp.int32)
     for i, t in enumerate(scene_types):
         pr = params_ref[i]
-        # object space: translate then rotate (src/sdf.py:64-68)
+        # object space: translate, rotate, then animation offset
+        # (src/sdf.py:64-68 + ops/scene._local)
         tx = x - pr[0]
         ty = y - pr[1]
         tz = z - pr[2]
-        px = pr[6] * tx + pr[7] * ty + pr[8] * tz
-        py = pr[9] * tx + pr[10] * ty + pr[11] * tz
-        pz = pr[12] * tx + pr[13] * ty + pr[14] * tz
-        d = jnp.abs(_sd_tile(t, px, py, pz, pr[3], pr[4], pr[5], box_round))
+        px = pr[6] * tx + pr[7] * ty + pr[8] * tz + pr[15]
+        py = pr[9] * tx + pr[10] * ty + pr[11] * tz + pr[16]
+        pz = pr[12] * tx + pr[13] * ty + pr[14] * tz + pr[17]
+        if t == SHAPE.BUNNY:
+            d = jnp.abs(_bunny_tile(bunny_ref, px, py, pz))
+        else:
+            d = jnp.abs(
+                _sd_tile(t, px, py, pz, pr[3], pr[4], pr[5], box_round))
         take = d < best
         idx = jnp.where(take, i, idx)
         best = jnp.where(take, d, best)
     return best, idx
 
 
-def _march_kernel(params_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
-                  dz_ref, t_ref, idx_ref, hit_ref, *,
-                  scene_types: Tuple[int, ...], cfg, box_round: float):
+def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
+                  box_round: float, has_bunny: bool):
+    if has_bunny:
+        bunny_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, \
+            t_ref, idx_ref, hit_ref = refs
+    else:
+        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+         t_ref, idx_ref, hit_ref) = refs
+        bunny_ref = None
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
@@ -128,7 +180,7 @@ def _march_kernel(params_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref,
         y = oy + t * dy
         z = oz + t * dz
         dist, index = _nearest_tile(scene_types, params_ref, x, y, z,
-                                    box_round)
+                                    box_round, bunny_ref)
         ld = d
 
         if not rollback_allowed:
@@ -197,8 +249,8 @@ def _pad_to_tile(x: jax.Array) -> Tuple[jax.Array, int]:
 
 @functools.partial(jax.jit, static_argnames=("scene_types", "box_round",
                                              "cfg"))
-def _march_pallas_impl(params, origin, direction, scene_types, box_round,
-                       cfg: RenderConfig):
+def _march_pallas_impl(params, bunny, origin, direction, scene_types,
+                       box_round, cfg: RenderConfig):
     o_pad, n = _pad_to_tile(origin)
     d_pad, _ = _pad_to_tile(direction)
     num = o_pad.shape[0]
@@ -211,23 +263,27 @@ def _march_pallas_impl(params, origin, direction, scene_types, box_round,
     ox, oy, oz = split(o_pad)
     dx, dy, dz = split(d_pad)
 
+    has_bunny = bunny is not None
     kernel = functools.partial(_march_kernel, scene_types=scene_types,
-                               cfg=cfg, box_round=box_round)
+                               cfg=cfg, box_round=box_round,
+                               has_bunny=has_bunny)
 
     tile_spec = pl.BlockSpec((1, TILE_ROWS, TILE_COLS),
                              lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    extra = [bunny] if has_bunny else []
     t, idx, hit = pl.pallas_call(
         kernel,
         grid=(tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] + [tile_spec] * 6,
+        in_specs=([full_spec] * (1 + len(extra)) + [tile_spec] * 6),
         out_specs=[tile_spec] * 3,
         out_shape=[
             jax.ShapeDtypeStruct(shape3, jnp.float32),
             jax.ShapeDtypeStruct(shape3, jnp.int32),
             jax.ShapeDtypeStruct(shape3, jnp.int32),
         ],
-    )(params, ox, oy, oz, dx, dy, dz)
+    )(params, *extra, ox, oy, oz, dx, dy, dz)
 
     t = t.reshape(num)[:n]
     idx = idx.reshape(num)[:n]
@@ -238,11 +294,9 @@ def _march_pallas_impl(params, origin, direction, scene_types, box_round,
 def march_pallas(scene: Scene, origin: jax.Array, direction: jax.Array,
                  cfg: RenderConfig):
     """Fused-march entry: returns ``(t, index, hit)`` matching
-    ``ops.march._march_loop`` for primitive-only scenes.
-
-    Neural (bunny) scenes fall back to the XLA path — handled by the caller.
-    """
+    ``ops.march._march_loop`` — primitive and neural-bunny scenes."""
     params = pack_scene(scene)
-    return _march_pallas_impl(params, origin, direction,
+    bunny = pack_bunny(scene) if scene.bunny is not None else None
+    return _march_pallas_impl(params, bunny, origin, direction,
                               tuple(scene.shape_types),
                               float(scene.box_round), cfg)
