@@ -181,3 +181,26 @@ def test_black_background_kills_primary_miss_only():
     acc = np.array(state.accum)
     deposited = acc[:, :3].sum()
     assert deposited == pytest.approx(0.0, abs=1e-6)
+
+
+def test_cornell_wall_radiance_matches_theory():
+    """Global-illumination energy regression: the back-wall *center* of the
+    full-PBR cornell box converges to ~0.43 linear radiance (direct light
+    from the 100x emitter ~0.35 by the area-light estimate with the 82.5%
+    diffuse lobe fraction, plus GI; insensitive to bounce budget beyond ~8
+    since wall albedo is 0.4). 4096 iid paths give SE ~0.065. Guards
+    against silent energy loss in the emission/termination/roulette chain."""
+    from raytracingpbr_tpu.core.types import Rays
+
+    scene = cornell.full_scene()
+    cfg = cornell.full_config().replace(max_raytrace=24)
+    env = cornell.sky()
+    n = 4096
+    o = jnp.tile(jnp.array([[0.0, 0.0, 3.0]]), (n, 1))
+    d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1))
+    rays = Rays(origin=o, direction=d, color=jnp.ones((n, 3)),
+                depth=jnp.zeros((n,), jnp.int32))
+    pid = jnp.arange(n, dtype=jnp.uint32)  # distinct counters = iid samples
+    out = integ.megakernel_trace(scene, env, rays, pid, 0, cfg)
+    mean = float(np.array(out.color).mean())
+    assert 0.30 < mean < 0.58, mean
