@@ -125,14 +125,18 @@ def _sd_tile(type_id: int, px, py, pz, sx, sy, sz, box_round: float):
     return jnp.full_like(px, 1e3)
 
 
-def _nearest_tile(scene_types, params_ref, x, y, z, box_round,
+def _nearest_tile(scene_types, obj_params, x, y, z, box_round,
                   bunny_ref=None):
     """Unrolled min over |sd_i| for a tile of world points. Returns
-    (min_dis, index) as (8, 128) arrays."""
+    (min_dis, index) as (8, 128) arrays.
+
+    ``obj_params``: list of per-object scalar tuples pre-loaded OUTSIDE the
+    march loop (one VMEM scalar read per parameter per kernel, not per
+    iteration)."""
     best = jnp.full_like(x, 1e3)
     idx = jnp.zeros_like(x, dtype=jnp.int32)
     for i, t in enumerate(scene_types):
-        pr = params_ref[i]
+        pr = obj_params[i]
         # object space: translate, rotate, then animation offset
         # (src/sdf.py:64-68 + ops/scene._local)
         tx = x - pr[0]
@@ -164,9 +168,18 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
+    # Hoist every per-object scalar out of the march loop: one VMEM scalar
+    # read per parameter per kernel invocation instead of per iteration.
+    obj_params = [tuple(params_ref[i, k] for k in range(18))
+                  for i in range(len(scene_types))]
+
     pixel_radius = cfg.pixel_radius
     w0 = cfg.omega
     rollback_allowed = cfg.omega_policy != OmegaPolicy.CONSTANT
+    # Amortize the cross-lane any-active reduction and loop branch over
+    # several masked iterations; post-convergence work inside a chunk is
+    # masked out, so semantics are unchanged.
+    chunk = 4 if cfg.max_raymarch % 4 == 0 else 1
 
     # Masks live in the loop carry as int32 (0/1) — Mosaic does not lower
     # i1 vectors in while-loop carries ("unsupported target bitwidth").
@@ -179,7 +192,7 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
         x = ox + t * dx
         y = oy + t * dy
         z = oz + t * dz
-        dist, index = _nearest_tile(scene_types, params_ref, x, y, z,
+        dist, index = _nearest_tile(scene_types, obj_params, x, y, z,
                                     box_round, bunny_ref)
         ld = d
 
@@ -221,9 +234,14 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
                 hit_new,
                 done_new)
 
+    def chunk_body(st):
+        for _ in range(chunk):
+            st = body(st)
+        return st
+
     shape = ox.shape
     f = lambda v: jnp.full(shape, v, ox.dtype)
-    st = jax.lax.while_loop(cond, body, (
+    st = jax.lax.while_loop(cond, chunk_body, (
         jnp.zeros((), jnp.int32),
         f(cfg.march_t0),
         f(w0),

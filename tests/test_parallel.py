@@ -51,17 +51,20 @@ def test_sharded_wavefront_matches_single_device(setup):
     n = cfg.num_pixels
 
     state_s = make_frame_state(n)
+    single_fn = jax.jit(
+        lambda st: integ.render_frame(scene, env, cam, st, cfg))
     px_single = None
     for _ in range(3):
-        px_single, state_s = integ.render_frame(scene, env, cam, state_s,
-                                                cfg)
+        px_single, state_s = single_fn(state_s)
 
     mesh = meshlib.make_mesh(tiles=8, samples=1)
     state_m = prender.shard_frame_state(make_frame_state(n), mesh)
+    # jit once — an unjitted shard_map closure re-lowers on every call
+    shard_fn = jax.jit(lambda st: prender.render_frame_sharded(
+        scene, env, cam, st, cfg, mesh))
     px_shard = None
     for _ in range(3):
-        px_shard, state_m = prender.render_frame_sharded(
-            scene, env, cam, state_m, cfg, mesh)
+        px_shard, state_m = shard_fn(state_m)
     np.testing.assert_allclose(np.array(px_shard), np.array(px_single),
                                atol=1e-5, rtol=1e-4)
     np.testing.assert_allclose(np.array(state_m.accum),
