@@ -24,9 +24,26 @@ from ..ops import integrator as integ
 from ..utils.profiling import MetricsLogger
 
 
+def _save_debug_views(state, cfg, out_dir):
+    """Debug render targets — the live app's commented-out channels
+    (``src/main.py:65-66``): adaptive-sampling noise map and ray-depth heat
+    map, as first-class outputs (SURVEY.md §5 'Metrics')."""
+    def to_img(flat):
+        return np.asarray(flat).reshape(
+            cfg.width, cfg.height).transpose(1, 0)[::-1]
+
+    noise = np.clip(to_img(state.noise) * 1e3, 0, 1)
+    depth = np.clip(np.abs(to_img(state.rays.depth)) / 3.0, 0, 1)
+    imageio.write_png(os.path.join(out_dir, "debug_noise.png"),
+                      np.repeat(noise[..., None], 3, -1))
+    imageio.write_png(os.path.join(out_dir, "debug_depth.png"),
+                      np.repeat(depth[..., None], 3, -1))
+
+
 def run(scene, env, cam, cfg, out_dir: str, minutes: float = 1.0,
         save_every: int = 50, exposure: float = 1.0,
-        metrics_path: str | None = None) -> None:
+        metrics_path: str | None = None, debug_views: bool = False,
+        validate: bool = False) -> None:
     os.makedirs(out_dir, exist_ok=True)
     ckpt_path = os.path.join(out_dir, "state.npz")
     if os.path.exists(ckpt_path):
@@ -49,16 +66,23 @@ def run(scene, env, cam, cfg, out_dir: str, minutes: float = 1.0,
         f = int(state.frame)
         log.frame_stats(np.asarray(pixels), np.asarray(state.accum), dt,
                         frame=f)
+        if validate:
+            from ..utils.validate import assert_state_finite
+            assert_state_finite(state)
         if f % save_every == 0:
             img = np.asarray(pixels).reshape(
                 cfg.width, cfg.height, 3).transpose(1, 0, 2)[::-1]
             imageio.write_png(os.path.join(out_dir, "latest.png"), img)
             ckpt.save(ckpt_path, state, meta={"frame": f})
+            if debug_views:
+                _save_debug_views(state, cfg, out_dir)
     if pixels is not None:
         img = np.asarray(pixels).reshape(
             cfg.width, cfg.height, 3).transpose(1, 0, 2)[::-1]
         imageio.write_png(os.path.join(out_dir, "final.png"), img)
         ckpt.save(ckpt_path, state, meta={"frame": int(state.frame)})
+        if debug_views:
+            _save_debug_views(state, cfg, out_dir)
     log.close()
 
 

@@ -116,3 +116,34 @@ class TestApps:
         lum_n = noisy.mean(-1)
         lum_d = den.mean(-1)
         assert (lum_d < 0.05).mean() <= (lum_n < 0.05).mean()
+
+
+class TestValidate:
+    def test_state_health_clean(self):
+        from raytracingpbr_tpu.core.types import make_frame_state
+        from raytracingpbr_tpu.utils import validate
+        s = make_frame_state(64)
+        h = validate.state_health(s)
+        assert h["accum_finite_frac"] == 1.0
+        validate.assert_state_finite(s)  # no raise
+
+    def test_assert_catches_nan(self):
+        import jax.numpy as jnp
+        from raytracingpbr_tpu.core.types import make_frame_state
+        from raytracingpbr_tpu.utils import validate
+        s = make_frame_state(64)
+        s = s.replace(accum=s.accum.at[0, 0].set(jnp.nan))
+        with pytest.raises(FloatingPointError):
+            validate.assert_state_finite(s)
+
+    def test_progressive_debug_views(self, tmp_path):
+        from raytracingpbr_tpu.apps import progressive
+        cfg = cornell.minimal_config().replace(resolution=(8, 8),
+                                               max_raymarch=16)
+        progressive.run(cornell.minimal_scene(), rt.white_sky(),
+                        cornell.minimal_camera(), cfg, str(tmp_path),
+                        minutes=0.01, save_every=2, debug_views=True,
+                        validate=True)
+        import os
+        assert os.path.exists(tmp_path / "debug_noise.png")
+        assert os.path.exists(tmp_path / "debug_depth.png")
