@@ -179,7 +179,7 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
     # Amortize the cross-lane any-active reduction and loop branch over
     # several masked iterations; post-convergence work inside a chunk is
     # masked out, so semantics are unchanged.
-    chunk = 4 if cfg.max_raymarch % 4 == 0 else 1
+    chunk = 8 if cfg.max_raymarch % 8 == 0 else (4 if cfg.max_raymarch % 4 == 0 else 1)
 
     # Masks live in the loop carry as int32 (0/1) — Mosaic does not lower
     # i1 vectors in while-loop carries ("unsupported target bitwidth").
