@@ -19,10 +19,29 @@ _LIB_PATH = os.path.join(os.path.dirname(__file__), "libimage_io.so")
 _lib = None
 
 
+def _build():
+    """Compile native/image_io.cpp into the package tree (one-time; the
+    binary is not checked in). No-op if the source or g++ is unavailable."""
+    src = os.path.join(os.path.dirname(__file__), os.pardir, os.pardir,
+                       "native", "image_io.cpp")
+    if not os.path.exists(src):
+        return
+    import subprocess
+    try:
+        subprocess.run(
+            ["g++", "-O2", "-fPIC", "-shared", "-Wall", src, "-lz",
+             "-o", _LIB_PATH],
+            check=True, capture_output=True, timeout=120)
+    except Exception:
+        pass
+
+
 def _load():
     global _lib
     if _lib is not None:
         return _lib
+    if not os.path.exists(_LIB_PATH):
+        _build()
     if os.path.exists(_LIB_PATH):
         lib = ctypes.CDLL(_LIB_PATH)
         lib.rtpbr_write_png.argtypes = [ctypes.c_char_p,
