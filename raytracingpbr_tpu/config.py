@@ -115,6 +115,12 @@ class RenderConfig:
     # MXU path.
     dtype: str = "float32"
 
+    # Low-discrepancy (R2) camera/lens sampling — the reference's ToDo at
+    # src/util.py:64. Stratifies sub-pixel jitter and aperture samples per
+    # pixel across the sample index; shading draws stay pcg4d (their index
+    # is a global step, not a per-pixel sample counter).
+    low_discrepancy: bool = False
+
     seed: int = 0
 
     @property

@@ -90,6 +90,49 @@ def uniform(pixel_id, step, stream, seed=0, dtype=jnp.float32):
     return uniform4(pixel_id, step, stream, seed, dtype)[0]
 
 
+# --- low-discrepancy sampler -------------------------------------------------
+# Answers the reference's own ToDo (``src/util.py:64`` "Low Discrepancy
+# Sequence"): the 4D R2 additive recurrence (Roberts 2018, "The Unreasonable
+# Effectiveness of Quasirandom Sequences") in exact uint32 fixed-point
+# arithmetic, randomized per (pixel, stream, seed) with a Cranley-Patterson
+# rotation so every pixel sees an independent unbiased shift of the sequence.
+
+# root of x^5 = x + 1 (generalized golden ratio for d=4)
+_PHI4 = 1.1673039782614187
+_R2_A = tuple(int(round(((1.0 / _PHI4) ** (k + 1) % 1.0) * 2.0**32))
+              & 0xFFFFFFFF for k in range(4))
+_R2_Y = 0x9E3779B9  # constant word for the rotation hash
+
+
+def r2_uniform4(pixel_id: jax.Array, step, stream, seed=0,
+                dtype=jnp.float32):
+    """Four quasirandom uniforms in [0,1): the ``step``-th point of the 4D
+    R2 sequence, Cranley-Patterson-rotated per (pixel, stream, seed).
+
+    Drop-in signature-compatible with :func:`uniform4`; stratifies draws
+    *across steps* for a fixed pixel (sub-pixel jitter, lens samples), so use
+    it where the step index is a per-pixel sample counter. The wrap-around
+    uint32 multiply-add is the exact fractional part, and the rotation hash
+    does not consume ``step`` — shard- and checkpoint-invariance are
+    inherited from the counter discipline.
+    """
+    step = jnp.asarray(step)
+    n = jnp.broadcast_to(step, pixel_id.shape).astype(jnp.uint32)
+    rot = pcg4d(
+        pixel_id,
+        jnp.full(pixel_id.shape, _R2_Y, jnp.uint32),
+        jnp.full(pixel_id.shape, stream, jnp.uint32),
+        jnp.full(pixel_id.shape, seed, jnp.uint32),
+    )
+    return tuple(_to_unit_float(rot[k] + n * jnp.uint32(_R2_A[k]), dtype)
+                 for k in range(4))
+
+
+def sampler4(low_discrepancy: bool):
+    """Select the 4-uniform sampler for per-sample-indexed draws."""
+    return r2_uniform4 if low_discrepancy else uniform4
+
+
 # --- samplers (reference math: src/util.py) ---------------------------------
 
 

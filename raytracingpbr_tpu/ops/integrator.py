@@ -136,7 +136,8 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
         jnp.concatenate([color_surv, jnp.ones_like(u_r)[:, None]], -1),
         0.0)
 
-    u_cam = rnglib.uniform4(pixel_id, step, _S_CAMERA, cfg.seed, dtype)
+    u_cam = rnglib.sampler4(cfg.low_discrepancy)(
+        pixel_id, step, _S_CAMERA, cfg.seed, dtype)
     uv = cameralib.pixel_uv(pixel_id, cfg.width, cfg.height,
                             u_cam[0], u_cam[1])
     fresh = cameralib.get_ray(cam, uv, u_cam[2], u_cam[3])
@@ -355,7 +356,8 @@ def render_image(scene: Scene, env: Environment, cam: Camera,
     pixel_id = jnp.arange(n, dtype=jnp.uint32)
 
     def one_sample(accum, s):
-        u_cam = rnglib.uniform4(pixel_id, s, _S_CAMERA, cfg.seed)
+        u_cam = rnglib.sampler4(cfg.low_discrepancy)(
+            pixel_id, s, _S_CAMERA, cfg.seed)
         uv = cameralib.pixel_uv(pixel_id, cfg.width, cfg.height,
                                 u_cam[0], u_cam[1])
         rays = cameralib.get_ray(cam, uv, u_cam[2], u_cam[3])

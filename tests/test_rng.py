@@ -71,3 +71,46 @@ def test_hemispheric_cosine_weighted():
     assert (cos >= -1e-6).all()
     # cosine-weighted: E[cos] = 2/3
     assert abs(cos.mean() - 2.0 / 3.0) < 0.01
+
+
+# --- R2 low-discrepancy sampler (reference ToDo src/util.py:64) -------------
+
+
+def test_r2_range_and_determinism():
+    pid = jnp.arange(4096, dtype=jnp.uint32)
+    a = rng.r2_uniform4(pid, 7, 1)
+    b = rng.r2_uniform4(pid, 7, 1)
+    for x, y in zip(a, b):
+        x, y = np.array(x), np.array(y)
+        np.testing.assert_array_equal(x, y)
+        assert x.min() >= 0.0 and x.max() < 1.0
+
+
+def test_r2_stratifies_per_pixel_sequence():
+    # For one pixel, the first 64 points of each dimension must be far more
+    # evenly spread than iid uniforms: the three-gap theorem bounds the
+    # largest gap of an additive recurrence; iid draws exceed this a.s.
+    pid = jnp.zeros((1,), jnp.uint32)
+    for dim in range(4):
+        seq = np.array([
+            float(rng.r2_uniform4(pid, n, 2, seed=5)[dim][0])
+            for n in range(64)])
+        gaps = np.diff(np.sort(np.concatenate([seq, seq[:1] + 1.0])))
+        assert gaps.max() < 0.08, (dim, gaps.max())
+        assert abs(seq.mean() - 0.5) < 0.03, (dim, seq.mean())
+
+
+def test_r2_rotation_decorrelates_pixels_and_streams():
+    pid = jnp.arange(50_000, dtype=jnp.uint32)
+    u_s1 = np.array(rng.r2_uniform4(pid, 3, 1)[0])
+    u_s2 = np.array(rng.r2_uniform4(pid, 3, 2)[0])
+    assert abs(np.corrcoef(u_s1, u_s2)[0, 1]) < 0.01
+    # across pixels at a fixed step the rotation is the only source of
+    # variation — it must itself be uniform
+    assert abs(u_s1.mean() - 0.5) < 0.01
+    assert abs(u_s1.var() - 1.0 / 12.0) < 0.01
+
+
+def test_r2_sampler_select():
+    assert rng.sampler4(False) is rng.uniform4
+    assert rng.sampler4(True) is rng.r2_uniform4
