@@ -92,6 +92,8 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--scene", default="demo", choices=["demo", "cornell"])
     p.add_argument("--minutes", type=float, default=1.0)
+    p.add_argument("--scale", type=int, default=1,
+                   help="resolution divisor vs the reference workload")
     p.add_argument("--out", default="out/progressive")
     p.add_argument("--metrics", default=None)
     args = p.parse_args(argv)
@@ -104,6 +106,9 @@ def main(argv=None):
         scene, cfg = cornell.full_scene(), cornell.full_config()
         cam, env = cornell.full_camera(), cornell.sky()
         exposure = 0.6
+    if args.scale > 1:
+        cfg = cfg.replace(resolution=(cfg.width // args.scale,
+                                      cfg.height // args.scale))
     run(scene, env, cam, cfg, args.out, minutes=args.minutes,
         exposure=exposure, metrics_path=args.metrics)
 

@@ -117,8 +117,10 @@ class RenderConfig:
 
     # Low-discrepancy (R2) camera/lens sampling — the reference's ToDo at
     # src/util.py:64. Stratifies sub-pixel jitter and aperture samples per
-    # pixel across the sample index; shading draws stay pcg4d (their index
-    # is a global step, not a per-pixel sample counter).
+    # pixel across a per-pixel sample counter: the megakernel's sample index
+    # in render_image, the FrameState.respawn counter in the wavefront
+    # integrator. Shading draws stay pcg4d (their index is a global step,
+    # not a per-pixel sample counter).
     low_discrepancy: bool = False
 
     seed: int = 0

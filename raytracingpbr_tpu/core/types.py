@@ -91,6 +91,12 @@ class FrameState:
     * ``diff_accum``/``noise``: adaptive-sampling noise estimate buffers
       (src/fileds.py:17-25); always allocated (cheap), only updated when
       ``cfg.adaptive_sampling``.
+    * ``respawn``: per-pixel count of camera-ray respawns actually consumed —
+      the sample index for the low-discrepancy camera sampler in the
+      wavefront integrator (a pixel only advances its R2 sequence on the
+      steps where its path finished, so the global step counter would not
+      stratify). Counter-derived like everything else: shard- and
+      checkpoint-invariant.
     """
 
     rays: Rays
@@ -99,6 +105,7 @@ class FrameState:
     diff_accum: jax.Array  # (N, 2)
     noise: jax.Array       # (N,)
     pixels: jax.Array      # (N, 3) last tonemapped output (for noise metric)
+    respawn: jax.Array     # (N,) u32 per-pixel camera-sample counter
 
 
 def make_frame_state(n: int, dtype=jnp.float32) -> FrameState:
@@ -110,6 +117,7 @@ def make_frame_state(n: int, dtype=jnp.float32) -> FrameState:
         diff_accum=jnp.ones((n, 2), dtype),
         noise=jnp.full((n,), 1e32, dtype),
         pixels=jnp.zeros((n, 3), dtype),
+        respawn=jnp.zeros((n,), jnp.uint32),
     )
 
 
@@ -117,10 +125,14 @@ def refresh(state: FrameState) -> FrameState:
     """Reset accumulation after camera motion (src/renderer.py:12-22).
 
     Zeroes the accumulator, re-arms the wavefront (depth=0 forces respawn on
-    the next step) and the adaptive-sampling buffers (diff=1, noise=1e32)."""
+    the next step) and the adaptive-sampling buffers (diff=1, noise=1e32).
+    ``respawn`` restarts at 0 so a fresh accumulation replays the R2 camera
+    sequence from its best-stratified prefix (the pre-refresh estimate is
+    discarded, so the reuse is harmless)."""
     return state.replace(
         rays=state.rays.replace(depth=jnp.zeros_like(state.rays.depth)),
         accum=jnp.zeros_like(state.accum),
         diff_accum=jnp.ones_like(state.diff_accum),
         noise=jnp.full_like(state.noise, 1e32),
+        respawn=jnp.zeros_like(state.respawn),
     )

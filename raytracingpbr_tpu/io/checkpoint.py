@@ -35,6 +35,7 @@ def save(path: str, state: FrameState, meta: Optional[dict] = None) -> None:
         "diff_accum": state.diff_accum,
         "noise": state.noise,
         "pixels": state.pixels,
+        "respawn": state.respawn,
     }
     host = {k: np.asarray(jax.device_get(v)) for k, v in leaves.items()}
     host["_meta"] = np.frombuffer(
@@ -60,6 +61,8 @@ def load(path: str) -> Tuple[FrameState, dict]:
             rays=jax.tree.map(lambda x: x, rays),
             accum=z["accum"], frame=z["frame"],
             diff_accum=z["diff_accum"], noise=z["noise"],
-            pixels=z["pixels"])
+            pixels=z["pixels"],
+            respawn=(z["respawn"] if "respawn" in z else
+                     np.zeros(z["noise"].shape, np.uint32)))
         meta = json.loads(bytes(z["_meta"]).decode()) if "_meta" in z else {}
     return jax.tree.map(lambda x: np.asarray(x), state), meta

@@ -103,13 +103,20 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
                    rays: Rays, accum: jax.Array, pixel_id: jax.Array,
                    step: jax.Array, cfg: RenderConfig,
                    active: Optional[jax.Array] = None,
-                   differentiable: bool = False):
+                   differentiable: bool = False,
+                   respawn: Optional[jax.Array] = None):
     """One russian-roulette wavefront step per pixel
     (``src/pathtracer.py:65-77`` -> ``track_once`` -> ``raytrace``).
 
     ``step`` is the global roulette-step counter (RNG uniqueness).
     ``active``: optional per-pixel gate (adaptive sampling,
-    ``src/pathtracer.py:97-101``). Returns ``(rays, accum)``.
+    ``src/pathtracer.py:97-101``). ``respawn``: optional (N,) u32 per-pixel
+    camera-sample counter; with ``cfg.low_discrepancy`` it indexes the R2
+    sequence for the camera draws (a pixel consumes a camera sample only on
+    the steps where its path finished — an irregular subsequence of steps —
+    so indexing R2 by the global step would destroy the stratification and
+    correlate sample selection with the per-pixel rotation).
+    Returns ``(rays, accum, respawn)``.
     """
     depth = rays.depth
     dtype = rays.color.dtype
@@ -136,8 +143,12 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
         jnp.concatenate([color_surv, jnp.ones_like(u_r)[:, None]], -1),
         0.0)
 
-    u_cam = rnglib.sampler4(cfg.low_discrepancy)(
-        pixel_id, step, _S_CAMERA, cfg.seed, dtype)
+    if cfg.low_discrepancy and respawn is not None:
+        # R2 indexed by the per-pixel camera-sample counter (see docstring).
+        u_cam = rnglib.r2_uniform4(pixel_id, respawn, _S_CAMERA, cfg.seed,
+                                   dtype)
+    else:
+        u_cam = rnglib.uniform4(pixel_id, step, _S_CAMERA, cfg.seed, dtype)
     uv = cameralib.pixel_uv(pixel_id, cfg.width, cfg.height,
                             u_cam[0], u_cam[1])
     fresh = cameralib.get_ray(cam, uv, u_cam[2], u_cam[3])
@@ -163,7 +174,16 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
     if active is not None:
         new_rays = jax.tree.map(
             lambda new, old: _where(active, new, old), new_rays, rays)
-    return new_rays, accum
+    if respawn is not None:
+        # advance the camera-sample counter only where the fresh camera ray
+        # was actually kept (finished path that survived roulette, and not
+        # gated off by adaptive sampling) — a discarded draw is reused on the
+        # pixel's next respawn, keeping the R2 prefix contiguous.
+        used = finished & survive
+        if active is not None:
+            used = used & active
+        respawn = respawn + used.astype(jnp.uint32)
+    return new_rays, accum, respawn
 
 
 def render_frame(scene: Scene, env: Environment, cam: Camera,
@@ -205,12 +225,13 @@ def render_frame_tile(scene: Scene, env: Environment, cam: Camera,
     if cfg.adaptive_sampling:
         active = state.noise > cfg.noise_threshold
 
+    respawn = state.respawn
     k = 0
     for _ in range(cfg.samples_per_frame):
         for _ in range(cfg.samples_per_pixel):
-            rays, accum = wavefront_step(
+            rays, accum, respawn = wavefront_step(
                 scene, env, cam, rays, accum, pixel_id, base + k, cfg,
-                active=active)
+                active=active, respawn=respawn)
             k += 1
 
     pixels, diff_accum, noise = postlib.post_process(
@@ -218,7 +239,7 @@ def render_frame_tile(scene: Scene, env: Environment, cam: Camera,
         diff_accum=state.diff_accum)
     new_state = state.replace(
         rays=rays, accum=accum, frame=state.frame + 1,
-        pixels=pixels,
+        pixels=pixels, respawn=respawn,
         diff_accum=diff_accum if diff_accum is not None else state.diff_accum,
         noise=noise if noise is not None else state.noise,
     )

@@ -183,6 +183,47 @@ def test_black_background_kills_primary_miss_only():
     assert deposited == pytest.approx(0.0, abs=1e-6)
 
 
+class TestLowDiscrepancyWavefront:
+    """The wavefront integrator indexes the R2 camera sampler with the
+    per-pixel respawn counter (FrameState.respawn), not the global step —
+    a pixel consumes a camera draw only on steps where its path finished
+    (ADVICE round-1, medium)."""
+
+    def _setup(self, ld):
+        cfg = RenderConfig(resolution=(16, 16), max_raymarch=64,
+                           samples_per_frame=2, low_discrepancy=ld)
+        scene = furnace_scene()
+        env = rt.white_sky()
+        cam = rt.make_camera(aspect=1.0)
+        return scene, env, cam, cfg
+
+    def test_respawn_counts_deposits(self):
+        scene, env, cam, cfg = self._setup(True)
+        state = make_frame_state(cfg.num_pixels)
+        for _ in range(12):
+            _, state = integ.render_frame(scene, env, cam, state, cfg)
+        respawn = np.array(state.respawn)
+        counts = np.array(state.accum[:, 3])
+        # every deposited sample came from a consumed camera draw; the
+        # in-flight path may hold one more draw than it has deposited
+        assert (respawn >= counts).all()
+        assert (respawn <= counts + 1).all()
+        # refresh restarts the R2 prefix
+        _, state = integ.render_frame(scene, env, cam, state, cfg,
+                                      refreshing=True)
+        assert np.array(state.respawn).max() <= 2 * cfg.samples_per_frame
+
+    def test_ld_unbiased_vs_uniform(self):
+        # same furnace, both samplers must converge to 1
+        scene, env, cam, cfg = self._setup(True)
+        state = make_frame_state(cfg.num_pixels)
+        for _ in range(40):
+            _, state = integ.render_frame(scene, env, cam, state, cfg)
+        acc = np.array(state.accum)
+        value = acc[:, :3].sum(0) / acc[:, 3].sum()
+        np.testing.assert_allclose(value, 1.0, atol=0.04)
+
+
 def test_cornell_wall_radiance_matches_theory():
     """Global-illumination energy regression: the back-wall *center* of the
     full-PBR cornell box converges to ~0.43 linear radiance (direct light

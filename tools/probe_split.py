@@ -12,7 +12,6 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 print("backend:", jax.default_backend(), flush=True)
 
-import raytracingpbr_tpu as rt
 from raytracingpbr_tpu.core.types import make_frame_state
 from raytracingpbr_tpu.models import cornell
 from raytracingpbr_tpu.ops import integrator as integ
@@ -46,7 +45,9 @@ u = rnglib.uniform4(pixel_id, 0, 1, cfg.seed)
 uv = cameralib.pixel_uv(pixel_id, cfg.width, cfg.height, u[0], u[1])
 rays = cameralib.get_ray(cam, uv, u[2], u[3])
 
-march_j = jax.jit(lambda o, d: marchlib.march(scene, o, d, cfg))
+# differentiable=False matches the wavefront_step call (no _hit_t refinement)
+march_j = jax.jit(lambda o, d: marchlib.march(scene, o, d, cfg,
+                                              differentiable=False))
 t_march = timeit("march primary (pallas)", march_j, rays.origin,
                  rays.direction)
 
@@ -68,8 +69,6 @@ t_step = timeit("wavefront_step (march+shade+rr)", step_j, mixed,
                 state.accum)
 
 # full frame (4 steps + post)
-def run_frame(st):
-    return frame(st)
 out = frame(state)
 jax.block_until_ready(out[0])
 t0 = time.time()
