@@ -38,6 +38,18 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def warmup_backend():
+    """Absorb the remote-TPU tunnel's first-execution stall.
+
+    The axon backend in this environment takes minutes on the FIRST program
+    execution + D2H of a process (handshake/claim path); every subsequent
+    dispatch is normal (~30us). Pay it here explicitly so per-phase timings
+    below measure the framework, not the tunnel."""
+    t0 = time.time()
+    np.asarray(jnp.ones((8,)) * 2.0)
+    log(f"backend warmup (first execution + fetch): {time.time()-t0:.1f}s")
+
+
 def bench_wavefront():
     import raytracingpbr_tpu as rt
     from raytracingpbr_tpu.core.types import make_frame_state
@@ -133,6 +145,10 @@ def bench_fwd_bwd():
 def main():
     extras = {}
     value = None
+    try:
+        warmup_backend()
+    except Exception as e:  # pragma: no cover
+        log(f"warmup failed: {e!r}")
     try:
         value = bench_wavefront()
     except Exception as e:  # pragma: no cover

@@ -70,7 +70,9 @@ def _trace_one_bounce(scene: Scene, env: Environment, rays: Rays,
     # --- hit branch (src/pathtracer.py:20-28) ---
     color_hit = rays.color * inter.color_scale
     intensity = brightness(color_hit)
-    color_hit = color_hit * scene.emission[res.index]
+    # one-hot contraction, not a per-ray gather (see scene.materials_at);
+    # XLA CSEs this with the interaction's own material fetch
+    color_hit = color_hit * scenelib.materials_at(scene, res.index).emission
     visible = brightness(color_hit)
     stop = ((intensity < visible)
             | (visible < cfg.visibility[0])
@@ -300,7 +302,7 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
             normal = jnp.where(outer[:, None], normal, -normal)
             new_dir = rnglib.hemispheric(normal, u4[0], u4[1])
             new_origin = res.position
-            color_scale = scene.albedo[res.index]
+            color_scale = scenelib.materials_at(scene, res.index).albedo
         else:
             inter = shadelib.ray_surface_interaction(
                 scene, res.index, res.position, direction, u4, cfg,
@@ -311,7 +313,8 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
         # hit: update throughput, test brightness termination
         color_hit = color * color_scale
         intensity = brightness(color_hit)
-        color_hit = color_hit * scene.emission[res.index]
+        color_hit = color_hit * scenelib.materials_at(scene,
+                                                      res.index).emission
         visible = brightness(color_hit)
         stop_hit = (intensity < visible) | (visible < cfg.visibility[0]) \
             | (visible > cfg.visibility[1])

@@ -19,7 +19,7 @@ Reference: ``/root/reference/src/scene.py`` (OBJECTS list, ``nearest``,
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence, Tuple
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -206,19 +206,41 @@ def nearest(scene: Scene, p: jax.Array):
 def sd_object(scene: Scene, idx: jax.Array, p: jax.Array) -> jax.Array:
     """Signed distance to the *selected* object per ray.
 
-    ``idx`` (...,) int32 gathered per ray; computes each present shape type's
-    distance branchlessly and selects by the gathered type id — a handful of
-    cheap formulas beats a per-ray ``lax.switch`` on TPU (no divergence,
-    SURVEY.md §7.1 "branchless").
+    ``idx`` (...,) int32 per ray. Computes every object's distance through
+    the statically-unrolled bucket loop and hard-selects by index — NO
+    per-ray gathers: dynamic gather of the per-object transform/scale tables
+    lowers ~10x slower than the unrolled compute-all-and-select on TPU
+    (measured 6.4ms vs 0.7ms at 230k rays; scene tables are tiny, rays are
+    not). Same trick as the Pallas march kernel and ``nearest``.
     """
-    pl = _local(scene, idx, p)
-    scale = scene.scale[idx]
-    tid = scene.type_array[idx]
-    present = sorted(set(scene.shape_types))
-    out = jnp.full(p.shape[:-1], MAX_DIS, p.dtype)
-    for t in present:
-        out = jnp.where(tid == t, _sd_typed(scene, t, pl, scale), out)
-    return out
+    d = all_distances(scene, p)  # (..., n)
+    sel = idx[..., None] == jnp.arange(scene.num_objects)
+    return jnp.sum(jnp.where(sel, d, 0.0), axis=-1)
+
+
+class Materials(NamedTuple):
+    albedo: jax.Array        # (..., 3)
+    emission: jax.Array      # (..., 3)
+    roughness: jax.Array     # (...,)
+    metallic: jax.Array      # (...,)
+    transmission: jax.Array  # (...,)
+    ior: jax.Array           # (...,)
+
+
+def materials_at(scene: Scene, idx: jax.Array) -> Materials:
+    """All six material parameters of the hit object per ray
+    (``src/dataclass.py:13-20``), fetched as ONE one-hot contraction against
+    the packed (n_obj, 10) table instead of six per-ray gathers (gathers are
+    the slow path on TPU; a (N, n_obj) x (n_obj, 10) matmul is MXU work)."""
+    dtype = scene.albedo.dtype
+    table = jnp.concatenate([
+        scene.albedo, scene.emission,
+        scene.roughness[:, None], scene.metallic[:, None],
+        scene.transmission[:, None], scene.ior[:, None]], axis=-1)
+    oh = (idx[..., None] == jnp.arange(scene.num_objects)).astype(dtype)
+    m = oh @ table  # (..., 10)
+    return Materials(m[..., 0:3], m[..., 3:6], m[..., 6], m[..., 7],
+                     m[..., 8], m[..., 9])
 
 
 def calc_normal(scene: Scene, idx: jax.Array, p: jax.Array) -> jax.Array:

@@ -56,11 +56,9 @@ def ray_surface_interaction(
     (``origin = hit position``, ``cornell_box.py:287``) instead of the src/
     engine's normal offset (``src/pbr.py:60``).
     """
-    albedo = scene.albedo[index]
-    roughness = scene.roughness[index]
-    metallic = scene.metallic[index]
-    transmission = scene.transmission[index]
-    ior = scene.ior[index]
+    mat = scenelib.materials_at(scene, index)
+    albedo, roughness = mat.albedo, mat.roughness
+    metallic, transmission, ior = mat.metallic, mat.transmission, mat.ior
 
     # Normal from the SDF gradient, flipped to face the incident ray
     # (two-sided surfaces; src/pbr.py:30-32).
