@@ -21,6 +21,7 @@ layouts and across checkpoint/resume.
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -29,7 +30,8 @@ import jax.numpy as jnp
 from ..config import RenderConfig, Roulette
 from ..core import rng as rnglib
 from ..core.math import brightness
-from ..core.types import Camera, FrameState, Rays, refresh
+from ..core.types import (Camera, FrameState, Rays, make_frame_state,
+                          refresh)
 from . import camera as cameralib
 from . import march as marchlib
 from . import post as postlib
@@ -52,13 +54,16 @@ def _trace_one_bounce(scene: Scene, env: Environment, rays: Rays,
                       pixel_id: jax.Array, counter, cfg: RenderConfig,
                       differentiable: bool = False,
                       roughness_fresnel: bool = False,
-                      restart_at_hit: bool = False) -> Rays:
+                      restart_at_hit: bool = False,
+                      active: Optional[jax.Array] = None) -> Rays:
     """One ``raytrace`` bounce (``src/pathtracer.py:16-36``): march, then
     surface interaction or sky, emission multiply, brightness termination.
-    ``counter`` is the RNG step counter for this bounce's draws.
+    ``counter`` is the RNG step counter for this bounce's draws. ``active``
+    lanes marked False skip march work (their outputs are discarded by the
+    caller).
     """
     res = marchlib.march(scene, rays.origin, rays.direction, cfg,
-                         differentiable=differentiable)
+                         differentiable=differentiable, active=active)
     depth = rays.depth + 1  # raycast increments depth (src/scene.py:83)
 
     u4 = rnglib.uniform4(pixel_id, counter, _S_SHADE, cfg.seed,
@@ -163,7 +168,7 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
     )
 
     traced = _trace_one_bounce(scene, env, pre, pixel_id, step, cfg,
-                               differentiable=differentiable)
+                               differentiable=differentiable, active=active)
 
     # kill lane (src/pathtracer.py:70-72): zero the contribution, mark
     # terminated; the zero sample deposits on the next step's respawn.
@@ -248,6 +253,56 @@ def render_frame_tile(scene: Scene, env: Environment, cam: Camera,
     return pixels, new_state
 
 
+@functools.lru_cache(maxsize=32)
+def _progressive_frame_jit(cfg: RenderConfig):
+    """One compiled wavefront frame with scene/env/cam/exposure as ARGUMENTS
+    (one compilation per cfg, reused across animation frames and scenes —
+    closure capture would retrace per call AND embed device constants, which
+    stalls on remote-TPU backends)."""
+    return jax.jit(lambda scene, env, cam, st, exposure: render_frame(
+        scene, env, cam, st, cfg, exposure=exposure))
+
+
+def render_image_progressive(scene: Scene, env: Environment, cam: Camera,
+                             cfg: RenderConfig, spp: int,
+                             exposure=1.0, tonemapped: bool = True,
+                             max_frames: Optional[int] = None,
+                             state: Optional[FrameState] = None):
+    """Offline still via the *wavefront* integrator: run progressive frames
+    until every pixel has deposited at least ``spp`` completed paths, then
+    return the (H, W, 3) image (tonemapped mean by actual per-pixel counts).
+
+    Same estimator family as the reference's progressive src/ engine
+    (``src/renderer.py:25-32`` looped); ~8x faster than ``render_image``'s
+    megakernel on TPU because every lane does useful work every step (no
+    dead lanes waiting for the longest path; SURVEY.md §3.2). Use
+    ``render_image`` when exact example-megakernel parity or end-to-end
+    differentiability is required.
+    """
+    state = state if state is not None else make_frame_state(cfg.num_pixels)
+    # Normalize to a modest unroll: render_frame unrolls samples_per_frame x
+    # samples_per_pixel wavefront steps into ONE program, so a workload spec
+    # like bunny-glass (spp=512) must not become a 512-step graph — the spp
+    # budget is met by the host loop below, 8 steps per compiled frame.
+    cfg = cfg.replace(samples_per_frame=8, samples_per_pixel=1)
+    frame = _progressive_frame_jit(cfg)
+    # 8 steps/frame completes >= ~quality_per_sample*8 paths per pixel per
+    # frame in expectation; bound the host loop for pathological configs.
+    limit = max_frames if max_frames is not None else (spp // 2 + 64)
+    pixels = None
+    exposure = jnp.asarray(exposure, state.accum.dtype)
+    for _ in range(limit):
+        pixels, state = frame(scene, env, cam, state, exposure)
+        if float(state.accum[:, 3].min()) >= spp:
+            break
+    if tonemapped:
+        img = pixels
+    else:
+        img = state.accum[:, :3] / jnp.maximum(state.accum[:, 3:4], 1.0)
+    return (jnp.transpose(img.reshape(cfg.width, cfg.height, 3),
+                          (1, 0, 2))[::-1], state)
+
+
 # ---------------------------------------------------------------------------
 # Megakernel (examples / test oracle / differentiable stills)
 # ---------------------------------------------------------------------------
@@ -293,7 +348,7 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
         # (DEPTH_LINEAR roulette belongs to the wavefront path.)
 
         res = marchlib.march(scene, origin, direction, cfg,
-                             differentiable=differentiable)
+                             differentiable=differentiable, active=alive)
 
         u4 = rnglib.uniform4(pixel_id, counter, _S_SHADE, cfg.seed, dtype)
         if diffuse_only:

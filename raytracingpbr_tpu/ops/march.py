@@ -24,7 +24,7 @@ gradients at the hit point via the implicit function theorem:
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,8 @@ class MarchResult(NamedTuple):
     iters: jax.Array     # () i32 — loop trip count actually executed
 
 
-def _march_loop(scene: Scene, origin, direction, cfg: RenderConfig):
+def _march_loop(scene: Scene, origin, direction, cfg: RenderConfig,
+                active=None):
     n = origin.shape[0]
     dtype = origin.dtype
     # Derive loop-carry inits from the ray arrays (not fresh constants) so
@@ -50,6 +51,7 @@ def _march_loop(scene: Scene, origin, direction, cfg: RenderConfig):
     # jnp.full would be "unvarying" and trip the scan/while vma check.
     zero = origin[:, 0] * 0.0
     f = lambda v: zero + dtype.type(v)
+    done0 = (zero > 1.0) if active is None else ~active
 
     class S(NamedTuple):
         i: jax.Array
@@ -69,7 +71,7 @@ def _march_loop(scene: Scene, origin, direction, cfg: RenderConfig):
         d=f(scenelib.MAX_DIS),
         index=zero.astype(jnp.int32),
         hit=zero > 1.0,
-        done=zero > 1.0,
+        done=done0,
     )
 
     pixel_radius = dtype.type(cfg.pixel_radius) if hasattr(dtype, "type") \
@@ -185,7 +187,8 @@ def _use_pallas(scene: Scene, backend: str) -> bool:
 
 def march(scene: Scene, origin: jax.Array, direction: jax.Array,
           cfg: RenderConfig, differentiable: bool = True,
-          backend: str = "auto") -> MarchResult:
+          backend: str = "auto", active: Optional[jax.Array] = None
+          ) -> MarchResult:
     """Sphere-trace a flat ray batch against the scene.
 
     Returns the hit parameter/point/object per lane. When ``differentiable``,
@@ -195,20 +198,30 @@ def march(scene: Scene, origin: jax.Array, direction: jax.Array,
 
     ``backend``: "auto" (Pallas fused kernel on TPU, XLA elsewhere),
     "pallas", or "xla".
+
+    ``active``: optional (N,) bool — lanes marked False are done before the
+    first iteration (their t/index/hit outputs are the inits and must be
+    ignored by the caller). This is what makes adaptive sampling
+    (``src/pathtracer.py:97-101``) and megakernel dead lanes actually SAVE
+    march work: a fully-inactive tile exits its loop immediately.
     """
     if _use_pallas(scene, backend):
         from ..pallas.march_kernel import march_pallas
         t, index, hit = march_pallas(
             jax.lax.stop_gradient(scene),
             jax.lax.stop_gradient(origin),
-            jax.lax.stop_gradient(direction), cfg)
+            jax.lax.stop_gradient(direction), cfg,
+            active=(None if active is None
+                    else jax.lax.stop_gradient(active)))
         res = MarchResult(t, origin + t[:, None] * direction, index, hit,
                           jnp.zeros((), jnp.int32))
     else:
         res = _march_loop(
             jax.lax.stop_gradient(scene),
             jax.lax.stop_gradient(origin),
-            jax.lax.stop_gradient(direction), cfg)
+            jax.lax.stop_gradient(direction), cfg,
+            active=(None if active is None
+                    else jax.lax.stop_gradient(active)))
     if differentiable:
         t = _hit_t(scene, origin, direction, res.t, res.index, res.hit)
         position = origin + t[:, None] * direction

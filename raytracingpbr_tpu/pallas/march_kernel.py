@@ -157,14 +157,12 @@ def _nearest_tile(scene_types, obj_params, x, y, z, box_round,
 
 
 def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
-                  box_round: float, has_bunny: bool):
-    if has_bunny:
-        bunny_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, \
-            t_ref, idx_ref, hit_ref = refs
-    else:
-        (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-         t_ref, idx_ref, hit_ref) = refs
-        bunny_ref = None
+                  box_round: float, has_bunny: bool, has_active: bool):
+    refs = list(refs)
+    bunny_ref = refs.pop(0) if has_bunny else None
+    act_ref = refs.pop(0) if has_active else None
+    (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+     t_ref, idx_ref, hit_ref) = refs
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
@@ -178,8 +176,14 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
     rollback_allowed = cfg.omega_policy != OmegaPolicy.CONSTANT
     # Amortize the cross-lane any-active reduction and loop branch over
     # several masked iterations; post-convergence work inside a chunk is
-    # masked out, so semantics are unchanged.
-    chunk = 8 if cfg.max_raymarch % 8 == 0 else (4 if cfg.max_raymarch % 4 == 0 else 1)
+    # masked out, so semantics are chunk-invariant. 32 measured best on v5e
+    # for the cornell wavefront (mixed-state march 7.7ms @8 -> 6.8ms @32;
+    # the VPU pipelines the unrolled body, the reduction+branch is the
+    # cost); 64 blows up Mosaic compile time. Interpreter/CPU runs (tests)
+    # keep a small unroll — there the masked extra iterations are real work.
+    target = 32 if jax.default_backend() not in ("cpu", "gpu") else 4
+    chunk = next((c for c in (target, 16, 8, 4) if c <= target
+                  and cfg.max_raymarch % c == 0), 1)
 
     # Masks live in the loop carry as int32 (0/1) — Mosaic does not lower
     # i1 vectors in while-loop carries ("unsupported target bitwidth").
@@ -241,6 +245,10 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
 
     shape = ox.shape
     f = lambda v: jnp.full(shape, v, ox.dtype)
+    # inactive lanes start done: an all-inactive tile exits before its first
+    # nearest() evaluation (adaptive-sampling gate, dead megakernel lanes)
+    done0 = ((1 - act_ref[:]) if has_active
+             else jnp.zeros(shape, jnp.int32))
     st = jax.lax.while_loop(cond, chunk_body, (
         jnp.zeros((), jnp.int32),
         f(cfg.march_t0),
@@ -249,7 +257,7 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
         f(1e3),
         jnp.zeros(shape, jnp.int32),
         jnp.zeros(shape, jnp.int32),
-        jnp.zeros(shape, jnp.int32),
+        done0,
     ))
     _, t, w, s, d, idx, hit, done = st
     t_ref[:] = t
@@ -267,7 +275,7 @@ def _pad_to_tile(x: jax.Array) -> Tuple[jax.Array, int]:
 
 @functools.partial(jax.jit, static_argnames=("scene_types", "box_round",
                                              "cfg"))
-def _march_pallas_impl(params, bunny, origin, direction, scene_types,
+def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
                        box_round, cfg: RenderConfig):
     o_pad, n = _pad_to_tile(origin)
     d_pad, _ = _pad_to_tile(direction)
@@ -282,26 +290,33 @@ def _march_pallas_impl(params, bunny, origin, direction, scene_types,
     dx, dy, dz = split(d_pad)
 
     has_bunny = bunny is not None
+    has_active = active is not None
     kernel = functools.partial(_march_kernel, scene_types=scene_types,
                                cfg=cfg, box_round=box_round,
-                               has_bunny=has_bunny)
+                               has_bunny=has_bunny, has_active=has_active)
 
     tile_spec = pl.BlockSpec((1, TILE_ROWS, TILE_COLS),
                              lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     extra = [bunny] if has_bunny else []
+    act = []
+    if has_active:
+        # pad lanes are inactive (padding rays must not march)
+        a_pad, _ = _pad_to_tile(active.astype(jnp.int32))
+        act = [a_pad.reshape(shape3)]
     t, idx, hit = pl.pallas_call(
         kernel,
         grid=(tiles,),
-        in_specs=([full_spec] * (1 + len(extra)) + [tile_spec] * 6),
+        in_specs=([full_spec] * (1 + len(extra))
+                  + [tile_spec] * (len(act) + 6)),
         out_specs=[tile_spec] * 3,
         out_shape=[
             jax.ShapeDtypeStruct(shape3, jnp.float32),
             jax.ShapeDtypeStruct(shape3, jnp.int32),
             jax.ShapeDtypeStruct(shape3, jnp.int32),
         ],
-    )(params, *extra, ox, oy, oz, dx, dy, dz)
+    )(params, *extra, *act, ox, oy, oz, dx, dy, dz)
 
     t = t.reshape(num)[:n]
     idx = idx.reshape(num)[:n]
@@ -310,11 +325,12 @@ def _march_pallas_impl(params, bunny, origin, direction, scene_types,
 
 
 def march_pallas(scene: Scene, origin: jax.Array, direction: jax.Array,
-                 cfg: RenderConfig):
+                 cfg: RenderConfig, active=None):
     """Fused-march entry: returns ``(t, index, hit)`` matching
-    ``ops.march._march_loop`` — primitive and neural-bunny scenes."""
+    ``ops.march._march_loop`` — primitive and neural-bunny scenes.
+    ``active``: optional (N,) bool lane gate (see ``ops.march.march``)."""
     params = pack_scene(scene)
     bunny = pack_bunny(scene) if scene.bunny is not None else None
-    return _march_pallas_impl(params, bunny, origin, direction,
+    return _march_pallas_impl(params, bunny, origin, direction, active,
                               tuple(scene.shape_types),
                               float(scene.box_round), cfg)

@@ -245,3 +245,28 @@ def test_cornell_wall_radiance_matches_theory():
     out = integ.megakernel_trace(scene, env, rays, pid, 0, cfg)
     mean = float(np.array(out.color).mean())
     assert 0.30 < mean < 0.58, mean
+
+
+def test_render_image_progressive_matches_megakernel_energy():
+    """Wavefront-based still (render_image_progressive) agrees with the
+    megakernel still on low-frequency content — the fast offline path."""
+    w = h = 32
+    scene = cornell.minimal_scene()
+    cam = cornell.minimal_camera()
+    env = cornell.sky()
+    mcfg = cornell.minimal_config().replace(
+        resolution=(w, h), max_raytrace=24, light_quality=1e9)
+    mega = np.array(rt.render_image(
+        scene, env, cam, mcfg, spp=32, tonemapped=False,
+        roughness_fresnel=False, restart_at_hit=False))
+    wcfg = mcfg.replace(samples_per_frame=8, max_raytrace=512,
+                        quality_per_sample=0.8)
+    img, state = integ.render_image_progressive(
+        scene, env, cam, wcfg, spp=32, tonemapped=False)
+    img = np.array(img)
+    assert img.shape == (h, w, 3)
+    assert float(np.array(state.accum)[:, 3].min()) >= 32
+    mb = mega.reshape(8, w // 8, 8, h // 8, 3).mean((1, 3)).ravel()
+    wb = img.reshape(8, w // 8, 8, h // 8, 3).mean((1, 3)).ravel()
+    assert np.corrcoef(mb, wb)[0, 1] > 0.98
+    assert 0.9 < img.sum() / mega.sum() < 1.1

@@ -163,3 +163,32 @@ class TestImplicitGradients:
             return ml.march(scene, o, d, cfg).t[0]
 
         assert float(jax.grad(t_sum)(jnp.asarray(1.0))) == 0.0
+
+
+class TestActiveGate:
+    """march(active=...) lets inactive lanes skip the loop entirely — the
+    mechanism behind adaptive-sampling and dead-megakernel-lane savings."""
+
+    def test_active_lanes_match_ungated(self):
+        cfg = CONFIGS["shortest"]
+        o, d = head_on_rays(8)
+        scene = sphere_scene()
+        active = jnp.array([True, False] * 4)
+        full = ml.march(scene, o, d, cfg, differentiable=False)
+        gated = ml.march(scene, o, d, cfg, differentiable=False,
+                         active=active)
+        a = np.array(active)
+        np.testing.assert_array_equal(np.array(gated.hit)[a],
+                                      np.array(full.hit)[a])
+        np.testing.assert_allclose(np.array(gated.t)[a],
+                                   np.array(full.t)[a])
+
+    def test_inactive_lanes_stay_at_init(self):
+        cfg = CONFIGS["shortest"]
+        o, d = head_on_rays(4)
+        scene = sphere_scene()
+        res = ml.march(scene, o, d, cfg, differentiable=False,
+                       active=jnp.zeros((4,), bool))
+        assert not np.array(res.hit).any()
+        np.testing.assert_allclose(np.array(res.t), cfg.march_t0)
+        assert int(res.iters) == 0  # loop never ran

@@ -100,3 +100,19 @@ def test_pallas_animated_scene_offset():
     t, idx, hit = mk.march_pallas(scene, o, d, cfg)
     assert bool(np.array(hit)[0]) == bool(np.array(ref.hit)[0])
     np.testing.assert_allclose(float(t[0]), float(ref.t[0]), rtol=2e-3)
+
+
+def test_pallas_march_active_gate():
+    """Inactive lanes exit at iteration 0 and keep init outputs; active
+    lanes match the ungated kernel exactly."""
+    scene = cornell.minimal_scene()
+    cfg = cornell.minimal_config()
+    o, d = rays_for(cfg)
+    full = mk.march_pallas(scene, o, d, cfg)
+    active = jnp.asarray(np.arange(mk.TILE) % 3 != 0)
+    t, idx, hit = mk.march_pallas(scene, o, d, cfg, active=active)
+    a = np.array(active)
+    np.testing.assert_array_equal(np.array(hit)[a], np.array(full[2])[a])
+    np.testing.assert_array_equal(np.array(t)[a], np.array(full[0])[a])
+    assert not np.array(hit)[~a].any()
+    np.testing.assert_allclose(np.array(t)[~a], cfg.march_t0)
