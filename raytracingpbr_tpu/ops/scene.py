@@ -68,6 +68,13 @@ class Scene:
     # per-bucket type id, same order as the splits
     bucket_types: Tuple[int, ...] = struct.field(pytree_node=False)
     box_round: float = struct.field(pytree_node=False)
+    # Static rotation classification per object: None (general matrix) or
+    # ((p0,p1,p2), (s0,s1,s2)) meaning row r of the baked matrix is
+    # s_r * e_{p_r} — a signed permutation (identity and all 90-degree
+    # Euler rotations). The Pallas march replaces the 9-mul matmul with
+    # <= 3 negations for such objects. Cleared (all None) by bake()/
+    # animate(), which can make rotations arbitrary.
+    rot_perm: Tuple = struct.field(pytree_node=False)
 
     # --- transforms ---
     position: jax.Array      # (n, 3)
@@ -98,6 +105,32 @@ class Scene:
         return jnp.asarray(self.shape_types, jnp.int32)
 
 
+def _snap_and_classify(mats: np.ndarray, tol: float = 1e-6):
+    """Snap near-{-1,0,1} rotation-matrix entries exactly (f32 cos/sin of
+    90-degree multiples leave ~1e-8 crumbs) and classify each object's
+    rotation as a signed permutation where possible.
+
+    Returns ``(snapped matrices, rot_perm tuple)`` — see ``Scene.rot_perm``.
+    Snapping keeps the XLA and Pallas paths numerically identical: both use
+    the exact 0/±1 entries.
+    """
+    mats = mats.copy()
+    near = np.abs(mats - np.round(mats)) < tol
+    mats[near] = np.round(mats[near])
+    perms = []
+    for m in mats:
+        perm = None
+        if np.all(np.isin(m, (-1.0, 0.0, 1.0))) and \
+                np.all((m != 0).sum(axis=1) == 1) and \
+                np.all((m != 0).sum(axis=0) == 1):
+            cols = np.argmax(m != 0, axis=1)
+            signs = m[np.arange(3), cols]
+            perm = (tuple(int(c) for c in cols),
+                    tuple(int(s) for s in signs))
+        perms.append(perm)
+    return mats, tuple(perms)
+
+
 def make_scene(objects: Sequence[ObjectSpec], box_round: float = 0.03,
                bunny: Optional[BunnyMLP] = None,
                dtype=jnp.float32) -> Scene:
@@ -124,15 +157,18 @@ def make_scene(objects: Sequence[ObjectSpec], box_round: float = 0.03,
         return jnp.asarray(arr.reshape((len(objs),) + shape_tail), dtype)
 
     rotation = stack(lambda o: o.rotation, (3,))
+    mats = np.asarray(sdflib.bake_matrices(rotation))
+    mats, rot_perm = _snap_and_classify(mats)
     return Scene(
         shape_types=types,
         type_splits=tuple(splits),
         bucket_types=tuple(bucket_types),
         box_round=float(box_round),
+        rot_perm=rot_perm,
         position=stack(lambda o: o.position, (3,)),
         rotation=rotation,
         scale=stack(lambda o: o.scale, (3,)),
-        matrix=sdflib.bake_matrices(rotation),
+        matrix=jnp.asarray(mats, dtype),
         local_offset=jnp.zeros((len(objs), 3), dtype),
         albedo=stack(lambda o: o.albedo, (3,)),
         emission=stack(lambda o: o.emission, (3,)),
@@ -147,8 +183,11 @@ def make_scene(objects: Sequence[ObjectSpec], box_round: float = 0.03,
 def bake(scene: Scene) -> Scene:
     """Re-bake rotation matrices from Euler degrees — the reference's
     ``build_scene()`` / ``update_all_transform`` (src/scene.py:99-113).
-    Call after mutating ``rotation``."""
-    return scene.replace(matrix=sdflib.bake_matrices(scene.rotation))
+    Call after mutating ``rotation``. The static signed-permutation
+    classification is conservatively dropped (rotation is traced data
+    here)."""
+    return scene.replace(matrix=sdflib.bake_matrices(scene.rotation),
+                         rot_perm=(None,) * scene.num_objects)
 
 
 def _sd_typed(scene: Scene, type_id: int, p_local: jax.Array,
@@ -271,4 +310,5 @@ def animate(scene: Scene, frame: jax.Array,
     offset = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 1.0], scene.position.dtype) * bob * jnp.sin(t),
         scene.local_offset.shape)
-    return scene.replace(matrix=new_matrix, local_offset=offset)
+    return scene.replace(matrix=new_matrix, local_offset=offset,
+                         rot_perm=(None,) * scene.num_objects)

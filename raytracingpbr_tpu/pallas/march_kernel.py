@@ -126,13 +126,15 @@ def _sd_tile(type_id: int, px, py, pz, sx, sy, sz, box_round: float):
 
 
 def _nearest_tile(scene_types, obj_params, x, y, z, box_round,
-                  bunny_ref=None):
+                  bunny_ref=None, rot_perm=None):
     """Unrolled min over |sd_i| for a tile of world points. Returns
     (min_dis, index) as (8, 128) arrays.
 
     ``obj_params``: list of per-object scalar tuples pre-loaded OUTSIDE the
     march loop (one VMEM scalar read per parameter per kernel, not per
-    iteration)."""
+    iteration). ``rot_perm``: static per-object signed-permutation
+    classification (Scene.rot_perm) — identity and 90-degree rotations
+    (most objects in every reference scene) skip the 9-mul row matmuls."""
     best = jnp.full_like(x, 1e3)
     idx = jnp.zeros_like(x, dtype=jnp.int32)
     for i, t in enumerate(scene_types):
@@ -142,9 +144,17 @@ def _nearest_tile(scene_types, obj_params, x, y, z, box_round,
         tx = x - pr[0]
         ty = y - pr[1]
         tz = z - pr[2]
-        px = pr[6] * tx + pr[7] * ty + pr[8] * tz + pr[15]
-        py = pr[9] * tx + pr[10] * ty + pr[11] * tz + pr[16]
-        pz = pr[12] * tx + pr[13] * ty + pr[14] * tz + pr[17]
+        perm = rot_perm[i] if rot_perm is not None else None
+        if perm is not None:
+            tv = (tx, ty, tz)
+            (p0, p1, p2), (s0, s1, s2) = perm
+            px = (tv[p0] if s0 > 0 else -tv[p0]) + pr[15]
+            py = (tv[p1] if s1 > 0 else -tv[p1]) + pr[16]
+            pz = (tv[p2] if s2 > 0 else -tv[p2]) + pr[17]
+        else:
+            px = pr[6] * tx + pr[7] * ty + pr[8] * tz + pr[15]
+            py = pr[9] * tx + pr[10] * ty + pr[11] * tz + pr[16]
+            pz = pr[12] * tx + pr[13] * ty + pr[14] * tz + pr[17]
         if t == SHAPE.BUNNY:
             d = jnp.abs(_bunny_tile(bunny_ref, px, py, pz))
         else:
@@ -157,7 +167,8 @@ def _nearest_tile(scene_types, obj_params, x, y, z, box_round,
 
 
 def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
-                  box_round: float, has_bunny: bool, has_active: bool):
+                  box_round: float, has_bunny: bool, has_active: bool,
+                  rot_perm: Tuple = None):
     refs = list(refs)
     bunny_ref = refs.pop(0) if has_bunny else None
     act_ref = refs.pop(0) if has_active else None
@@ -197,7 +208,7 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
         y = oy + t * dy
         z = oz + t * dz
         dist, index = _nearest_tile(scene_types, obj_params, x, y, z,
-                                    box_round, bunny_ref)
+                                    box_round, bunny_ref, rot_perm)
         ld = d
 
         if not rollback_allowed:
@@ -274,9 +285,9 @@ def _pad_to_tile(x: jax.Array) -> Tuple[jax.Array, int]:
 
 
 @functools.partial(jax.jit, static_argnames=("scene_types", "box_round",
-                                             "cfg"))
+                                             "cfg", "rot_perm"))
 def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
-                       box_round, cfg: RenderConfig):
+                       box_round, cfg: RenderConfig, rot_perm=None):
     o_pad, n = _pad_to_tile(origin)
     d_pad, _ = _pad_to_tile(direction)
     num = o_pad.shape[0]
@@ -293,7 +304,8 @@ def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
     has_active = active is not None
     kernel = functools.partial(_march_kernel, scene_types=scene_types,
                                cfg=cfg, box_round=box_round,
-                               has_bunny=has_bunny, has_active=has_active)
+                               has_bunny=has_bunny, has_active=has_active,
+                               rot_perm=rot_perm)
 
     tile_spec = pl.BlockSpec((1, TILE_ROWS, TILE_COLS),
                              lambda i: (i, 0, 0),
@@ -333,4 +345,5 @@ def march_pallas(scene: Scene, origin: jax.Array, direction: jax.Array,
     bunny = pack_bunny(scene) if scene.bunny is not None else None
     return _march_pallas_impl(params, bunny, origin, direction, active,
                               tuple(scene.shape_types),
-                              float(scene.box_round), cfg)
+                              float(scene.box_round), cfg,
+                              rot_perm=tuple(scene.rot_perm))
