@@ -22,8 +22,11 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-_PCG_MULT = jnp.uint32(1664525)
-_PCG_INC = jnp.uint32(1013904223)
+# Python ints, cast at trace time — module import must not create device
+# values (jax.distributed.initialize requires an uninitialized backend;
+# see parallel/mesh.multihost_init).
+_PCG_MULT = 1664525
+_PCG_INC = 1013904223
 # 1/2^24: map the top 24 bits of a uint32 to [0, 1).
 _INV_2_24 = float(1.0 / (1 << 24))
 
@@ -35,10 +38,12 @@ def pcg4d(x: jax.Array, y: jax.Array, z: jax.Array, w: jax.Array):
     z = z.astype(jnp.uint32)
     w = w.astype(jnp.uint32)
 
-    x = x * _PCG_MULT + _PCG_INC
-    y = y * _PCG_MULT + _PCG_INC
-    z = z * _PCG_MULT + _PCG_INC
-    w = w * _PCG_MULT + _PCG_INC
+    mult = jnp.uint32(_PCG_MULT)
+    inc = jnp.uint32(_PCG_INC)
+    x = x * mult + inc
+    y = y * mult + inc
+    z = z * mult + inc
+    w = w * mult + inc
 
     x = x + y * w
     y = y + z * x

@@ -13,18 +13,22 @@ import jax.numpy as jnp
 from ..config import RenderConfig, Tonemap
 from ..core.math import brightness
 
+import numpy as np
+
 # Stephen-Hill fitted ACES matrices; src/aces.py:5-15. Taichi mat3 fills
 # row-major, and the reference applies them as M @ rgb (column vector).
-ACES_INPUT = jnp.array([
+# numpy (host) constants: module import must not create device values
+# (see parallel/mesh.multihost_init); jnp ops cast them at trace time.
+ACES_INPUT = np.array([
     [0.59719, 0.35458, 0.04823],
     [0.07600, 0.90834, 0.01566],
     [0.02840, 0.13383, 0.83777],
-])
-ACES_OUTPUT = jnp.array([
+], dtype=np.float32)
+ACES_OUTPUT = np.array([
     [1.60475, -0.53108, -0.07367],
     [-0.10208, 1.10813, -0.00605],
     [-0.00327, -0.07276, 1.07602],
-])
+], dtype=np.float32)
 
 
 def rrt_and_odt_fit(v: jax.Array) -> jax.Array:

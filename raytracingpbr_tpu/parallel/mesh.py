@@ -49,7 +49,12 @@ def multihost_init(coordinator_address: Optional[str] = None,
     On a pod slice each host runs this same program;
     ``jax.distributed.initialize`` wires the DCN coordination layer and
     ``jax.devices()`` then spans the slice (SURVEY.md §2.4 "Multi-host
-    runtime")."""
+    runtime").
+
+    Call BEFORE creating any device value (jax requires distributed init
+    before the XLA backend initializes; package import is deliberately
+    backend-init-free so this import itself is safe). End-to-end 2-process
+    proof: ``tools/multihost_demo.py`` (bit-identical to single-process)."""
     if num_processes is not None and num_processes > 1:
         jax.distributed.initialize(coordinator_address, num_processes,
                                    process_id)
