@@ -110,10 +110,11 @@ class RenderConfig:
     gamma: float = 2.2               # src/camera.py:117
     clamp_output: bool = True        # src/postprocessor.py:38
 
-    # Accuracy of the compute path. float32 everywhere by default (the
-    # reference is f32: src/config.py:5); bf16 is available for the neural SDF
-    # MXU path.
-    dtype: str = "float32"
+    # Precision note: the compute path is float32 (the reference is f32,
+    # src/config.py:5). Dtype is a property of the DATA, not the config:
+    # make_scene / load_bunny / make_frame_state / make_camera all take a
+    # dtype argument (e.g. bf16 bunny weights) and the kernels follow the
+    # array dtypes.
 
     # Low-discrepancy (R2) camera/lens sampling — the reference's ToDo at
     # src/util.py:64. Stratifies sub-pixel jitter and aperture samples per
