@@ -47,6 +47,15 @@ def render_animation(scene_fn, env: Environment, cam: Camera,
             scene, env, cam, cfg, spp=spp,
             sample_offset=frame_idx * jnp.uint32(spp), **trace_kw)
 
+    if start_frame < 0:
+        # auto-resume: skip frames already rendered (preemption recovery
+        # for the 240-frame offline loops, SURVEY.md §5 "Failure detection")
+        start_frame = 0
+        while os.path.exists(
+                os.path.join(out_dir, f"frame_{start_frame:05d}.png")):
+            start_frame += 1
+        if start_frame:
+            print(f"resuming at frame {start_frame}", flush=True)
     exposure = trace_kw.get("exposure", 1.0)
     if integrator == "wavefront":
         unsupported = sorted(set(trace_kw) - {"exposure"})
@@ -87,6 +96,9 @@ def main(argv=None):
                    help="resolution divisor vs the reference workload")
     p.add_argument("--out", default="out")
     p.add_argument("--metrics", default=None)
+    p.add_argument("--start-frame", type=int, default=-1,
+                   help="first frame to render; -1 = auto-resume past "
+                        "frames already present in --out")
     p.add_argument("--integrator", default="megakernel",
                    choices=["megakernel", "wavefront"],
                    help="megakernel = exact example parity; wavefront = "
@@ -128,9 +140,14 @@ def main(argv=None):
         env = demo.engine_environment()
         scene_fn = lambda f: s
         kw = {}
+    if args.scale > 1 and not args.scene.startswith("bunny"):
+        # bunny configs take scale natively; divide the rest here
+        cfg = cfg.replace(resolution=(cfg.width // args.scale,
+                                      cfg.height // args.scale))
 
     render_animation(scene_fn, env, cam, cfg, args.frames, args.spp,
                      args.out, metrics_path=args.metrics,
+                     start_frame=args.start_frame,
                      integrator=args.integrator, **kw)
 
 
