@@ -48,6 +48,13 @@ class InteractiveSession:
             lambda cam, st, refreshing, exposure: integ.render_frame(
                 self.scene, self.env, cam, st, self.cfg,
                 refreshing=refreshing, exposure=exposure))
+        # reprojection path (cfg.reprojection): refresh = warp history into
+        # the new view instead of zeroing (ops/reproject.py)
+        self._frame_reproj_fn = jax.jit(
+            lambda cam, prev, st, exposure: integ.render_frame(
+                self.scene, self.env, cam, st, self.cfg,
+                refreshing=True, exposure=exposure, prev_cam=prev))
+        self._prev_cam = None
         self.frames = 0
 
     def _camera(self):
@@ -108,9 +115,16 @@ class InteractiveSession:
             self.smooth, self.dt, jnp.asarray(self.target_pos),
             jnp.asarray(self.target_look), jnp.asarray([0.0, 1.0, 0.0]))
         moving = bool(self.smooth.moving)
-        self.pixels, self.state = self._frame_fn(
-            self._camera(), self.state, refreshing or moving,
-            jnp.asarray(self.exposure, jnp.float32))
+        cam = self._camera()
+        exp = jnp.asarray(self.exposure, jnp.float32)
+        if ((refreshing or moving) and self.cfg.reprojection
+                and self._prev_cam is not None):
+            self.pixels, self.state = self._frame_reproj_fn(
+                cam, self._prev_cam, self.state, exp)
+        else:
+            self.pixels, self.state = self._frame_fn(
+                cam, self.state, refreshing or moving, exp)
+        self._prev_cam = cam
         self.frames += 1
 
     def screenshot(self, path: str | None = None):
@@ -129,8 +143,22 @@ class InteractiveSession:
 
 
 def main(argv=None):
+    import argparse
+
     from ..models import demo
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--scale", type=int, default=1,
+                   help="resolution divisor vs the engine default")
+    p.add_argument("--reproject", action="store_true",
+                   help="warp accumulation on camera motion instead of "
+                        "resetting it (temporal reprojection)")
+    args = p.parse_args(argv)
     cfg = demo.engine_config()
+    if args.scale > 1:
+        cfg = cfg.replace(resolution=(cfg.width // args.scale,
+                                      cfg.height // args.scale))
+    if args.reproject:
+        cfg = cfg.replace(reprojection=True)
     sess = InteractiveSession(demo.engine_scene(), demo.engine_environment(),
                               cfg)
     sess.step()

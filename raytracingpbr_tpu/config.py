@@ -124,6 +124,17 @@ class RenderConfig:
     # not a per-pixel sample counter).
     low_discrepancy: bool = False
 
+    # Temporal reprojection on camera motion (the reference's ToDo at
+    # src/renderer.py:22, implemented): instead of zeroing the progressive
+    # accumulator, forward-warp it into the new view using the per-pixel
+    # primary-hit depth (FrameState.hit_t). History is down-weighted by
+    # `reproject_confidence` and its sample count clamped to
+    # `reproject_history_cap` so stale shading washes out. Single-device
+    # render_frame path; pass prev_cam to render_frame.
+    reprojection: bool = False
+    reproject_confidence: float = 0.5
+    reproject_history_cap: float = 64.0
+
     seed: int = 0
 
     @property

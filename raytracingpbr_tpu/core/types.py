@@ -13,6 +13,9 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
+# FrameState.hit_t sentinel: no surface recorded for this pixel yet
+NO_HIT_T = 1e10
+
 
 @struct.dataclass
 class Rays:
@@ -106,6 +109,11 @@ class FrameState:
     noise: jax.Array       # (N,)
     pixels: jax.Array      # (N, 3) last tonemapped output (for noise metric)
     respawn: jax.Array     # (N,) u32 per-pixel camera-sample counter
+    # Primary-hit ray parameter per pixel (1e10 = miss/unknown), refreshed
+    # every time the pixel's path respawns: the depth buffer that temporal
+    # reprojection warps the accumulator with (ops/reproject.py — the
+    # reference's own ToDo, src/renderer.py:22).
+    hit_t: jax.Array       # (N,) f32
 
 
 def make_frame_state(n: int, dtype=jnp.float32) -> FrameState:
@@ -118,6 +126,7 @@ def make_frame_state(n: int, dtype=jnp.float32) -> FrameState:
         noise=jnp.full((n,), 1e32, dtype),
         pixels=jnp.zeros((n, 3), dtype),
         respawn=jnp.zeros((n,), jnp.uint32),
+        hit_t=jnp.full((n,), NO_HIT_T, dtype),
     )
 
 
@@ -135,4 +144,5 @@ def refresh(state: FrameState) -> FrameState:
         diff_accum=jnp.ones_like(state.diff_accum),
         noise=jnp.full_like(state.noise, 1e32),
         respawn=jnp.zeros_like(state.respawn),
+        hit_t=jnp.full_like(state.hit_t, NO_HIT_T),
     )

@@ -36,6 +36,7 @@ def save(path: str, state: FrameState, meta: Optional[dict] = None) -> None:
         "noise": state.noise,
         "pixels": state.pixels,
         "respawn": state.respawn,
+        "hit_t": state.hit_t,
     }
     host = {k: np.asarray(jax.device_get(v)) for k, v in leaves.items()}
     host["_meta"] = np.frombuffer(
@@ -63,6 +64,8 @@ def load(path: str) -> Tuple[FrameState, dict]:
             diff_accum=z["diff_accum"], noise=z["noise"],
             pixels=z["pixels"],
             respawn=(z["respawn"] if "respawn" in z else
-                     np.zeros(z["noise"].shape, np.uint32)))
+                     np.zeros(z["noise"].shape, np.uint32)),
+            hit_t=(z["hit_t"] if "hit_t" in z else
+                   np.full(z["noise"].shape, 1e10, np.float32)))
         meta = json.loads(bytes(z["_meta"]).decode()) if "_meta" in z else {}
     return jax.tree.map(lambda x: np.asarray(x), state), meta

@@ -93,12 +93,15 @@ def _trace_one_bounce(scene: Scene, env: Environment, rays: Rays,
         color_miss = color_miss * (depth_miss < -1).astype(color_miss.dtype)[:, None]
 
     hit = res.hit
-    return Rays(
+    traced = Rays(
         origin=_where(hit, inter.origin, res.position),
         direction=_where(hit, inter.direction, rays.direction),
         color=_where(hit, color_hit, color_miss),
         depth=jnp.where(hit, depth_hit, depth_miss),
     )
+    # march t/hit surface to the caller: for lanes whose segment was a
+    # primary camera ray this is the depth buffer (reprojection)
+    return traced, res.t, hit
 
 
 # ---------------------------------------------------------------------------
@@ -111,7 +114,8 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
                    step: jax.Array, cfg: RenderConfig,
                    active: Optional[jax.Array] = None,
                    differentiable: bool = False,
-                   respawn: Optional[jax.Array] = None):
+                   respawn: Optional[jax.Array] = None,
+                   hit_t: Optional[jax.Array] = None):
     """One russian-roulette wavefront step per pixel
     (``src/pathtracer.py:65-77`` -> ``track_once`` -> ``raytrace``).
 
@@ -123,7 +127,9 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
     the steps where its path finished — an irregular subsequence of steps —
     so indexing R2 by the global step would destroy the stratification and
     correlate sample selection with the per-pixel rotation).
-    Returns ``(rays, accum, respawn)``.
+    ``hit_t``: optional (N,) primary-hit depth buffer — updated on lanes
+    that traced a fresh camera ray this step (reprojection input).
+    Returns ``(rays, accum, respawn, hit_t)``.
     """
     depth = rays.depth
     dtype = rays.color.dtype
@@ -167,8 +173,9 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
         depth=jnp.where(finished, 0, depth),
     )
 
-    traced = _trace_one_bounce(scene, env, pre, pixel_id, step, cfg,
-                               differentiable=differentiable, active=active)
+    traced, march_t, march_hit = _trace_one_bounce(
+        scene, env, pre, pixel_id, step, cfg,
+        differentiable=differentiable, active=active)
 
     # kill lane (src/pathtracer.py:70-72): zero the contribution, mark
     # terminated; the zero sample deposits on the next step's respawn.
@@ -181,27 +188,44 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
     if active is not None:
         new_rays = jax.tree.map(
             lambda new, old: _where(active, new, old), new_rays, rays)
+    used = finished & survive
+    if active is not None:
+        used = used & active
     if respawn is not None:
         # advance the camera-sample counter only where the fresh camera ray
         # was actually kept (finished path that survived roulette, and not
         # gated off by adaptive sampling) — a discarded draw is reused on the
         # pixel's next respawn, keeping the R2 prefix contiguous.
-        used = finished & survive
-        if active is not None:
-            used = used & active
         respawn = respawn + used.astype(jnp.uint32)
-    return new_rays, accum, respawn
+    if hit_t is not None:
+        from ..core.types import NO_HIT_T
+        # lanes that traced a fresh primary ray this step record its depth
+        hit_t = jnp.where(used,
+                          jnp.where(march_hit, march_t, NO_HIT_T),
+                          hit_t)
+    return new_rays, accum, respawn, hit_t
 
 
 def render_frame(scene: Scene, env: Environment, cam: Camera,
                  state: FrameState, cfg: RenderConfig,
-                 refreshing=False, exposure=1.0):
+                 refreshing=False, exposure=1.0,
+                 prev_cam: Optional[Camera] = None):
     """One display frame = ``render()`` (``src/renderer.py:25-32``):
     optional refresh, ``samples_per_frame x samples_per_pixel`` wavefront
     steps, then postprocess. Returns ``(pixels (N,3), new_state)``.
 
-    ``refreshing`` may be a Python or traced bool (camera moved).
+    ``refreshing`` may be a Python or traced bool (camera moved). With
+    ``cfg.reprojection`` and ``prev_cam``, a refresh warps the accumulator
+    into the new view (``ops/reproject.py``) instead of zeroing it —
+    requires ``refreshing`` to be a Python bool (host-side camera motion,
+    as in the interactive app).
     """
+    if (cfg.reprojection and prev_cam is not None
+            and isinstance(refreshing, bool)):
+        if refreshing:
+            from . import reproject as reprojectlib
+            state = reprojectlib.reproject(state, prev_cam, cam, cfg)
+        refreshing = False  # reproject already re-armed the state
     pixel_id = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
     return render_frame_tile(scene, env, cam, state, cfg, pixel_id,
                              refreshing=refreshing, exposure=exposure)
@@ -232,13 +256,13 @@ def render_frame_tile(scene: Scene, env: Environment, cam: Camera,
     if cfg.adaptive_sampling:
         active = state.noise > cfg.noise_threshold
 
-    respawn = state.respawn
+    respawn, hit_t = state.respawn, state.hit_t
     k = 0
     for _ in range(cfg.samples_per_frame):
         for _ in range(cfg.samples_per_pixel):
-            rays, accum, respawn = wavefront_step(
+            rays, accum, respawn, hit_t = wavefront_step(
                 scene, env, cam, rays, accum, pixel_id, base + k, cfg,
-                active=active, respawn=respawn)
+                active=active, respawn=respawn, hit_t=hit_t)
             k += 1
 
     pixels, diff_accum, noise = postlib.post_process(
@@ -246,7 +270,7 @@ def render_frame_tile(scene: Scene, env: Environment, cam: Camera,
         diff_accum=state.diff_accum)
     new_state = state.replace(
         rays=rays, accum=accum, frame=state.frame + 1,
-        pixels=pixels, respawn=respawn,
+        pixels=pixels, respawn=respawn, hit_t=hit_t,
         diff_accum=diff_accum if diff_accum is not None else state.diff_accum,
         noise=noise if noise is not None else state.noise,
     )
