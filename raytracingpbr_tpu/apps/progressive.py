@@ -96,6 +96,13 @@ def main(argv=None):
                    help="resolution divisor vs the reference workload")
     p.add_argument("--out", default="out/progressive")
     p.add_argument("--metrics", default=None)
+    p.add_argument("--validate", action="store_true",
+                   help="assert FrameState finiteness every frame "
+                        "(NaN/Inf debugging, utils/validate.py)")
+    p.add_argument("--debug-views", action="store_true",
+                   help="also write the adaptive-noise map and ray-depth "
+                        "heat map (the live app's commented-out channels, "
+                        "src/main.py:65-66)")
     args = p.parse_args(argv)
 
     if args.scene == "demo":
@@ -110,7 +117,8 @@ def main(argv=None):
         cfg = cfg.replace(resolution=(cfg.width // args.scale,
                                       cfg.height // args.scale))
     run(scene, env, cam, cfg, args.out, minutes=args.minutes,
-        exposure=exposure, metrics_path=args.metrics)
+        exposure=exposure, metrics_path=args.metrics,
+        validate=args.validate, debug_views=args.debug_views)
 
 
 if __name__ == "__main__":

@@ -44,7 +44,7 @@ def ray_surface_interaction(
     index: jax.Array,      # (N,) hit object per lane
     position: jax.Array,   # (N, 3) shading point
     direction: jax.Array,  # (N, 3) incident direction
-    u: tuple,              # 5 uniforms: (hemi1, hemi2, lobe1, lobe2, _)
+    u: tuple,              # 4 uniforms: (hemi1, hemi2, lobe1, lobe2)
     cfg: RenderConfig,
     roughness_fresnel: bool = False,
     restart_at_hit: bool = False,
