@@ -15,7 +15,7 @@ from .core.types import (Camera, FrameState, Rays, make_camera,
 from .ops.ibl import (Environment, black_sky, constant_sky, gradient_sky,
                       hdr_environment, white_sky)
 from .ops.integrator import (megakernel_trace, render_frame, render_image,
-                             wavefront_step)
+                             render_image_progressive, wavefront_step)
 from .ops.march import march
 from .ops.scene import ObjectSpec, Scene, make_scene
 from .ops.sdf import SHAPE
