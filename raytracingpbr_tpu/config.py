@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Tuple
+from typing import Optional, Tuple
 
 
 class Tonemap(enum.Enum):
@@ -102,6 +102,22 @@ class RenderConfig:
     hit_precision: float = 1e-4      # only for HitCriterion.ABSOLUTE
     march_t0: float = 0.0            # initial t (v3/examples use MIN_DIS)
     max_dis: float = 1e3             # src/config.py:23
+
+    # Pallas march loop unroll (iterations per cross-lane convergence check;
+    # pallas/march_kernel.py). None = backend-tuned default. Fewer march
+    # iterations per ray (e.g. over-relaxed omega) favor smaller chunks:
+    # post-convergence work inside a chunk is masked but not free.
+    march_chunk: Optional[int] = None
+
+    # Terminate miss lanes as soon as they are outside the scene's bounding
+    # sphere and receding, instead of marching all the way to max_dis
+    # (src/scene.py:82 bails only at MAX_DIS). Outside the bound of every
+    # object and moving away, no hit is possible, and a miss's shading
+    # depends only on the ray direction — images are identical; only the
+    # (unused) final t/position of miss lanes differ from the reference
+    # trace, so this is opt-in and off for the parity oracles. Ignored for
+    # scenes containing unbounded objects (PLANE).
+    escape_bound: bool = False
 
     roulette: Roulette = Roulette.DEPTH_LINEAR
     light_quality: float = 128.0     # EXP-roulette divisor; cornell_box.py:31

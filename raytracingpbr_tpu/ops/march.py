@@ -74,6 +74,12 @@ def _march_loop(scene: Scene, origin, direction, cfg: RenderConfig,
         done=done0,
     )
 
+    bound2 = None
+    if cfg.escape_bound:
+        bound = scenelib.bounding_radius(scene)
+        if bound is not None:
+            bound2 = bound * bound
+
     pixel_radius = dtype.type(cfg.pixel_radius) if hasattr(dtype, "type") \
         else cfg.pixel_radius
 
@@ -117,8 +123,12 @@ def _march_loop(scene: Scene, origin, direction, cfg: RenderConfig,
         step = jnp.where(rollback, s_rb, s_fwd)
         t_new = jnp.where(active, st.t + step, st.t)
         hit_new = jnp.where(active & ~rollback, hit_now, st.hit)
-        done_new = st.done | (active & ~rollback
-                              & (hit_now | (t_new >= cfg.max_dis)))
+        escaped = (t_new >= cfg.max_dis)
+        if bound2 is not None:
+            # outside the scene bound and receding: no hit is reachable
+            escaped = escaped | ((jnp.sum(pos * pos, -1) > bound2)
+                                 & (jnp.sum(pos * direction, -1) > 0.0))
+        done_new = st.done | (active & ~rollback & (hit_now | escaped))
 
         return S(
             i=st.i + 1,

@@ -257,6 +257,23 @@ def sd_object(scene: Scene, idx: jax.Array, p: jax.Array) -> jax.Array:
     return jnp.sum(jnp.where(sel, d, 0.0), axis=-1)
 
 
+def bounding_radius(scene: Scene) -> Optional[jax.Array]:
+    """Conservative origin-centered bounding-sphere radius of the whole
+    scene: beyond it, every SDF is positive and increasing along any
+    receding ray (the ``escape_bound`` march early-exit). Returns ``None``
+    for scenes with unbounded objects (PLANE)."""
+    if SHAPE.PLANE in scene.shape_types:
+        return None
+    # |center| + circumscribed radius per object; sqrt(3)*max(scale) covers
+    # every primitive (box half-extents, sphere/cylinder/cone radii/heights)
+    # and the bunny MLP's unit-sphere support (its scale is its world size).
+    r_obj = (jnp.linalg.norm(scene.position + 0.0, axis=-1)
+             + jnp.linalg.norm(scene.local_offset, axis=-1)
+             + jnp.sqrt(3.0) * jnp.max(scene.scale, axis=-1)
+             + scene.box_round)
+    return jnp.max(r_obj) * 1.05 + 0.1
+
+
 class Materials(NamedTuple):
     albedo: jax.Array        # (..., 3)
     emission: jax.Array      # (..., 3)

@@ -40,14 +40,22 @@ TILE_COLS = 128
 TILE = TILE_ROWS * TILE_COLS
 
 
-def pack_scene(scene: Scene) -> jax.Array:
+def pack_scene(scene: Scene, escape_bound: bool = False) -> jax.Array:
     """Pack per-object transform params into an (n, 32) f32 block:
-    [pos(3), scale(3), mat row-major (9), local_offset(3), pad(14)]."""
+    [pos(3), scale(3), mat row-major (9), local_offset(3),
+    bound^2 or 0 (1), pad(13)]. Column 18 carries the squared scene
+    bounding radius when the escape-bound early exit is on (0 = disabled)."""
     n = scene.num_objects
     mat = scene.matrix.reshape(n, 9)
-    pad = jnp.zeros((n, 14), scene.position.dtype)
+    bound = None
+    if escape_bound:
+        from ..ops.scene import bounding_radius
+        bound = bounding_radius(scene)
+    b2 = (jnp.zeros((n, 1), scene.position.dtype) if bound is None
+          else jnp.full((n, 1), 1.0, scene.position.dtype) * (bound * bound))
+    pad = jnp.zeros((n, 13), scene.position.dtype)
     return jnp.concatenate(
-        [scene.position, scene.scale, mat, scene.local_offset, pad],
+        [scene.position, scene.scale, mat, scene.local_offset, b2, pad],
         axis=-1)
 
 
@@ -168,7 +176,7 @@ def _nearest_tile(scene_types, obj_params, x, y, z, box_round,
 
 def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
                   box_round: float, has_bunny: bool, has_active: bool,
-                  rot_perm: Tuple = None):
+                  rot_perm: Tuple = None, has_bound: bool = False):
     refs = list(refs)
     bunny_ref = refs.pop(0) if has_bunny else None
     act_ref = refs.pop(0) if has_active else None
@@ -182,6 +190,7 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
     obj_params = [tuple(params_ref[i, k] for k in range(18))
                   for i in range(len(scene_types))]
 
+    bound2 = params_ref[0, 18] if has_bound else None
     pixel_radius = cfg.pixel_radius
     w0 = cfg.omega
     rollback_allowed = cfg.omega_policy != OmegaPolicy.CONSTANT
@@ -192,7 +201,10 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
     # the VPU pipelines the unrolled body, the reduction+branch is the
     # cost); 64 blows up Mosaic compile time. Interpreter/CPU runs (tests)
     # keep a small unroll — there the masked extra iterations are real work.
-    target = 32 if jax.default_backend() not in ("cpu", "gpu") else 4
+    if cfg.march_chunk is not None:
+        target = cfg.march_chunk
+    else:
+        target = 32 if jax.default_backend() not in ("cpu", "gpu") else 4
     chunk = next((c for c in (target, 16, 8, 4) if c <= target
                   and cfg.max_raymarch % c == 0), 1)
 
@@ -237,9 +249,13 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
         step = jnp.where(rollback, s_rb, s_fwd)
         t_new = jnp.where(active, t + step, t)
         hit_new = jnp.where(upd, hit_now.astype(jnp.int32), hit)
+        escaped = t_new >= cfg.max_dis
+        if bound2 is not None:
+            # outside the scene bounding sphere and receding -> no hit ahead
+            escaped = escaped | ((x * x + y * y + z * z > bound2)
+                                 & (x * dx + y * dy + z * dz > 0.0))
         done_new = jnp.maximum(
-            done,
-            (upd & (hit_now | (t_new >= cfg.max_dis))).astype(jnp.int32))
+            done, (upd & (hit_now | escaped)).astype(jnp.int32))
         return (i + 1,
                 t_new,
                 jnp.where(active, w_next, w),
@@ -285,9 +301,10 @@ def _pad_to_tile(x: jax.Array) -> Tuple[jax.Array, int]:
 
 
 @functools.partial(jax.jit, static_argnames=("scene_types", "box_round",
-                                             "cfg", "rot_perm"))
+                                             "cfg", "rot_perm", "has_bound"))
 def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
-                       box_round, cfg: RenderConfig, rot_perm=None):
+                       box_round, cfg: RenderConfig, rot_perm=None,
+                       has_bound=False):
     o_pad, n = _pad_to_tile(origin)
     d_pad, _ = _pad_to_tile(direction)
     num = o_pad.shape[0]
@@ -305,7 +322,7 @@ def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
     kernel = functools.partial(_march_kernel, scene_types=scene_types,
                                cfg=cfg, box_round=box_round,
                                has_bunny=has_bunny, has_active=has_active,
-                               rot_perm=rot_perm)
+                               rot_perm=rot_perm, has_bound=has_bound)
 
     tile_spec = pl.BlockSpec((1, TILE_ROWS, TILE_COLS),
                              lambda i: (i, 0, 0),
@@ -341,9 +358,11 @@ def march_pallas(scene: Scene, origin: jax.Array, direction: jax.Array,
     """Fused-march entry: returns ``(t, index, hit)`` matching
     ``ops.march._march_loop`` — primitive and neural-bunny scenes.
     ``active``: optional (N,) bool lane gate (see ``ops.march.march``)."""
-    params = pack_scene(scene)
+    has_bound = cfg.escape_bound and SHAPE.PLANE not in scene.shape_types
+    params = pack_scene(scene, escape_bound=has_bound)
     bunny = pack_bunny(scene) if scene.bunny is not None else None
     return _march_pallas_impl(params, bunny, origin, direction, active,
                               tuple(scene.shape_types),
                               float(scene.box_round), cfg,
-                              rot_perm=tuple(scene.rot_perm))
+                              rot_perm=tuple(scene.rot_perm),
+                              has_bound=has_bound)

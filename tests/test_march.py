@@ -72,6 +72,40 @@ def test_miss_escapes():
     assert float(res.t[0]) >= cfg.max_dis * 0.9
 
 
+def test_escape_bound_preserves_hits_and_speeds_misses():
+    """escape_bound terminates receding miss lanes early without changing
+    any hit result (a miss's shading depends only on direction)."""
+    cfg = CONFIGS["src_engine"].replace(max_raymarch=128)
+    scene = sphere_scene()
+    o = jnp.array([[0.0, 0.0, 5.0],    # hit
+                   [0.0, 3.0, 5.0],    # miss, passes by
+                   [0.0, 0.0, 5.0]])   # miss, points away
+    d = jnp.array([[0.0, 0.0, -1.0],
+                   [0.0, 0.0, -1.0],
+                   [0.0, 0.0, 1.0]])
+    a = ml.march(scene, o, d, cfg, differentiable=False)
+    b = ml.march(scene, o, d, cfg.replace(escape_bound=True),
+                 differentiable=False)
+    assert np.array_equal(np.asarray(a.hit), np.asarray(b.hit))
+    np.testing.assert_allclose(float(a.t[0]), float(b.t[0]), rtol=1e-6)
+    assert int(b.iters) < int(a.iters)  # escapers exit before max_dis
+    # lane pointing away from the scene escapes in very few steps
+    assert float(b.t[2]) < cfg.max_dis
+
+
+def test_bounding_radius_none_for_plane_scene():
+    s = sc.make_scene([ObjectSpec(SHAPE.PLANE, scale=(1, 1, 1))])
+    assert sc.bounding_radius(s) is None
+    # escape_bound silently disables for unbounded scenes
+    o = jnp.array([[0.0, 2.0, 0.0]])
+    d = jnp.array([[0.0, -1.0, 0.0]])
+    res = ml.march(s, o, d,
+                   CONFIGS["src_engine"].replace(escape_bound=True,
+                                                 max_raymarch=128),
+                   differentiable=False)
+    assert bool(res.hit[0])
+
+
 def test_interior_ray_hits_from_inside():
     """abs() in nearest makes surfaces two-sided (src/scene.py:52)."""
     cfg = CONFIGS["glass"]

@@ -1,0 +1,49 @@
+"""Measure the escape-bound march early-exit on the cornell wavefront bench
+workload, on top of the enhanced (w=1.6 rollback) march."""
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from raytracingpbr_tpu.config import OmegaPolicy
+from raytracingpbr_tpu.core.types import make_frame_state
+from raytracingpbr_tpu.models import cornell
+from raytracingpbr_tpu.ops import integrator as integ
+
+cam = cornell.full_camera()
+env = cornell.sky()
+scene = cornell.full_scene()
+base = cornell.full_config().replace(
+    samples_per_frame=4, max_raytrace=512, quality_per_sample=0.8,
+    omega=1.6, omega_policy=OmegaPolicy.ROLLBACK_TO_ONE)
+
+for name, kw in (("no bound", dict()),
+                 ("escape_bound", dict(escape_bound=True)),
+                 ("escape_bound+chunk16", dict(escape_bound=True,
+                                               march_chunk=16))):
+    cfg = base.replace(**kw)
+    frame = jax.jit(lambda st, cfg=cfg: integ.render_frame(
+        scene, env, cam, st, cfg))
+    state = make_frame_state(cfg.num_pixels)
+    px, state = frame(state)
+    jax.block_until_ready(px)
+    for _ in range(5):
+        px, state = frame(state)
+    jax.block_until_ready(px)
+    c0 = float(state.accum[:, 3].sum())
+    k = 10
+    t0 = time.time()
+    for _ in range(k):
+        px, state = frame(state)
+    jax.block_until_ready(px)
+    dt = time.time() - t0
+    c1 = float(state.accum[:, 3].sum())
+    for _ in range(24):
+        px, state = frame(state)
+    mean = float((state.accum[:, :3].sum()
+                  / jnp.maximum(state.accum[:, 3:].sum(), 1.0)).mean())
+    print(f"{name}: {dt/k*1e3:.2f} ms/frame, {(c1-c0)/dt/1e6:.3f} Msps, "
+          f"mean {mean:.4f}", flush=True)
