@@ -107,15 +107,12 @@ def bench_megakernel():
     return msps
 
 
-def bench_fwd_bwd():
-    import optax
-
-    import raytracingpbr_tpu as rt
+def bench_fwd_bwd(max_raytrace=8, differentiable=True, label="8 bounces"):
     from raytracingpbr_tpu.models import cornell
     from raytracingpbr_tpu.parallel import train as ptrain
 
     scene = cornell.full_scene()
-    cfg = cornell.full_config().replace(max_raytrace=8)
+    cfg = cornell.full_config().replace(max_raytrace=max_raytrace)
     cam = cornell.full_camera()
     env = cornell.sky()
     n = cfg.num_pixels
@@ -126,7 +123,8 @@ def bench_fwd_bwd():
     def grad_step(sc, s):
         def loss(sc):
             img = ptrain.render_pixels(sc, env, cam, pid, cfg, spp=1,
-                                       sample_offset=s)
+                                       sample_offset=s,
+                                       differentiable=differentiable)
             return jnp.mean((img - target) ** 2)
         return jax.grad(loss)(sc).albedo
 
@@ -138,8 +136,35 @@ def bench_fwd_bwd():
     jax.block_until_ready(g)
     dt = (time.time() - t0) / k
     msps = n / dt / 1e6
-    log(f"fwd+bwd (8 bounces): {dt:.3f}s/step, {msps:.4f} Msamples/s")
+    log(f"fwd+bwd ({label}): {dt:.3f}s/step, {msps:.4f} Msamples/s")
     return msps
+
+
+def bench_utilization():
+    """Speed-of-light accounting (VERDICT r2 item 2): measured VPU FMA roof
+    + executed-iteration march flops -> %-of-bound for the hot loop."""
+    from raytracingpbr_tpu.core import rng as rnglib
+    from raytracingpbr_tpu.models import cornell
+    from raytracingpbr_tpu.ops import camera as cameralib
+    from raytracingpbr_tpu.utils import speedlight
+
+    scene = cornell.full_scene()
+    cfg = cornell.full_config()
+    cam = cornell.full_camera()
+    pid = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+    u = rnglib.uniform4(pid, 0, 1, cfg.seed)
+    uv = cameralib.pixel_uv(pid, cfg.width, cfg.height, u[0], u[1])
+    rays = cameralib.get_ray(cam, uv, u[2], u[3])
+    stats = speedlight.march_utilization(scene, rays.origin, rays.direction,
+                                         cfg)
+    log("march utilization: "
+        f"{stats['utilization_pct']:.1f}% of VPU roof "
+        f"({stats['achieved_gflops']:.0f}/{stats['roof_gflops']:.0f} Gflop/s,"
+        f" {stats['lane_iters_executed']} lane-iters executed"
+        f" ({stats['divergence_tax_pct']:.0f}% divergence tax) @"
+        f" {stats['flops_per_iter']} flops/iter,"
+        f" {stats['march_s']*1e3:.2f} ms/march)")
+    return stats
 
 
 def main():
@@ -161,6 +186,21 @@ def main():
         extras["fwd_bwd_msps_8bounce"] = round(bench_fwd_bwd(), 4)
     except Exception as e:  # pragma: no cover
         log(f"fwd+bwd bench failed: {e!r}")
+    try:
+        # the reference's own cornell bounce budget (cornell_box.py:19),
+        # via path-replay backward (ops/replay.py) — O(rays) memory
+        extras["fwd_bwd_msps_128bounce_replay"] = round(
+            bench_fwd_bwd(max_raytrace=128, differentiable="replay",
+                          label="128 bounces, path replay"), 4)
+    except Exception as e:  # pragma: no cover
+        log(f"fwd+bwd replay bench failed: {e!r}")
+    try:
+        stats = bench_utilization()
+        extras["march_utilization_pct"] = round(stats["utilization_pct"], 1)
+        extras["march_achieved_gflops"] = round(stats["achieved_gflops"], 1)
+        extras["vpu_roof_gflops"] = round(stats["roof_gflops"], 1)
+    except Exception as e:  # pragma: no cover
+        log(f"utilization bench failed: {e!r}")
     if value is None:
         value = extras.get("megakernel_fwd_msps", 0.0)
 

@@ -180,6 +180,82 @@ def build_env_sampler(env: Environment) -> EnvImportanceSampler:
                                 pdf_map=pdf)
 
 
+@struct.dataclass
+class EnvAliasSampler:
+    """Alias-method (Walker/Vose) importance sampler over an equirect map.
+
+    Same distribution as :class:`EnvImportanceSampler` but O(1) per draw —
+    two gathers (prob, alias) instead of a ~22-step binary search per lane —
+    the right trade inside a per-bounce NEE loop on TPU, where gathers are
+    the expensive op. Table build is one host-side O(W*H) pass at scene
+    setup.
+    """
+
+    env: Environment
+    prob: jax.Array       # (W*H,) acceptance probability per texel
+    alias: jax.Array      # (W*H,) i32 alias texel
+    pdf_map: jax.Array    # (W, H) solid-angle pdf of each texel
+
+
+def build_env_alias_sampler(env: Environment) -> EnvAliasSampler:
+    import numpy as np
+
+    img = env.image
+    w, h = img.shape[0], img.shape[1]
+    y = (jnp.arange(h) + 0.5) / h
+    sin_theta = jnp.cos(jnp.pi * (y - 0.5))
+    lum = brightness(img) * sin_theta[None, :]
+    lum = jnp.maximum(lum, 1e-12)
+    texel_sa = (2 * jnp.pi / w) * (jnp.pi / h) * sin_theta[None, :]
+    pdf = lum / jnp.sum(lum) / jnp.maximum(texel_sa, 1e-12)
+
+    # Vose alias construction (host-side numpy; stacks, not vectorizable)
+    p = np.asarray(lum, np.float64).reshape(-1)
+    n = p.size
+    p = p / p.sum() * n
+    alias = np.zeros(n, np.int32)
+    prob = np.ones(n, np.float64)
+    small = [i for i in range(n) if p[i] < 1.0]
+    large = [i for i in range(n) if p[i] >= 1.0]
+    while small and large:
+        s, l = small.pop(), large.pop()
+        prob[s] = p[s]
+        alias[s] = l
+        p[l] = p[l] - (1.0 - p[s])
+        (small if p[l] < 1.0 else large).append(l)
+    for i in large + small:
+        prob[i] = 1.0
+    return EnvAliasSampler(env=env, prob=jnp.asarray(prob, jnp.float32),
+                           alias=jnp.asarray(alias), pdf_map=pdf)
+
+
+def sample_env_alias(sampler: EnvAliasSampler, u1: jax.Array,
+                     u2: jax.Array):
+    """Draw directions ~ envmap luminance via the alias table.
+    Returns (direction (N,3), radiance (N,3), pdf (N,)) — the same
+    distribution and return contract as :func:`sample_env`."""
+    img = sampler.env.image
+    w, h = img.shape[0], img.shape[1]
+    n = w * h
+    scaled = u1 * n
+    cell = jnp.clip(scaled.astype(jnp.int32), 0, n - 1)
+    frac = scaled - cell.astype(scaled.dtype)
+    take_alias = frac >= sampler.prob[cell]
+    texel = jnp.where(take_alias, sampler.alias[cell], cell)
+    x = texel // h
+    y = texel % h
+    uu = (x.astype(img.dtype) + 0.5) / w
+    vv = (y.astype(img.dtype) + 0.5) / h
+    phi = (uu - 0.5) * (2 * jnp.pi)
+    lat = (vv - 0.5) * jnp.pi
+    cl = jnp.cos(lat)
+    direction = jnp.stack(
+        [cl * jnp.cos(phi), jnp.sin(lat), cl * jnp.sin(phi)], axis=-1)
+    radiance = img[x, y] * sampler.env.scale
+    pdf = sampler.pdf_map[x, y]
+    return direction, radiance, pdf
+
+
 def sample_env(sampler: EnvImportanceSampler, u1: jax.Array, u2: jax.Array):
     """Draw directions ~ envmap luminance. Returns (direction, radiance, pdf)."""
     img = sampler.env.image

@@ -349,7 +349,21 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
 
     ``diffuse_only`` reproduces the minimal cornell box's shading
     (``cornell_box_shortest.py:88-99``): pure cosine-hemisphere bounce.
+
+    ``differentiable``: ``False`` (early-exit forward), ``True`` (scan-AD —
+    attached gradients incl. geometry, memory O(bounces)), or ``"replay"``
+    (path-replay backward via the counter RNG — material/environment
+    gradients at the reference's 128-512 bounce budgets in O(rays) memory;
+    see ``ops/replay.py``).
     """
+    if differentiable == "replay":
+        from .replay import trace_replay
+        color = trace_replay(scene, env, rays, pixel_id, sample_idx, cfg,
+                             diffuse_only=diffuse_only,
+                             roughness_fresnel=roughness_fresnel,
+                             restart_at_hit=restart_at_hit)
+        return TraceResult(color, jnp.zeros_like(rays.depth))
+
     n = rays.depth.shape[0]
     dtype = rays.color.dtype
     max_bounce = cfg.max_raytrace

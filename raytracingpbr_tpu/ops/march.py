@@ -92,12 +92,18 @@ def _march_loop(scene: Scene, origin, direction, cfg: RenderConfig,
         ld = st.d
 
         # Over-relaxation overstep detection: the two sphere bounds no longer
-        # overlap (src/scene.py:67: ``ld + distance < s``).
+        # overlap (src/scene.py:67: ``ld + distance < s``). The reference's
+        # strict ``<`` tunnels when the bounds touch EXACTLY (ld + d == s):
+        # with snapped axis-aligned planes (cornell walls) a perpendicular
+        # ray reaches that knife edge in exact f32 arithmetic — e.g. from
+        # height 2 at w=1.6: ld=2, d=1.2, s=3.2, 2+1.2==3.2 — and the march
+        # then strides through the surface forever. A relative epsilon makes
+        # the touching case roll back (costs at most one extra iteration).
         if cfg.omega_policy == OmegaPolicy.CONSTANT:
             rollback = jnp.zeros_like(st.hit)
             w_next = st.w
         else:
-            rollback = (ld + d < st.s)
+            rollback = (ld + d < st.s * (1.0 + 1e-6))
             if cfg.omega_policy == OmegaPolicy.ROLLBACK_TO_ONE:
                 # src/scene.py:66-73 gates on w > 1.0
                 rollback = rollback & (st.w > 1.0)
@@ -217,14 +223,17 @@ def march(scene: Scene, origin: jax.Array, direction: jax.Array,
     """
     if _use_pallas(scene, backend):
         from ..pallas.march_kernel import march_pallas
-        t, index, hit = march_pallas(
+        t, index, hit, lane_iters = march_pallas(
             jax.lax.stop_gradient(scene),
             jax.lax.stop_gradient(origin),
             jax.lax.stop_gradient(direction), cfg,
             active=(None if active is None
                     else jax.lax.stop_gradient(active)))
+        # iters: batch-max lane need, same meaning as the XLA loop's counter
+        # (executed trips round up to the kernel's chunk size); per-lane
+        # counts feed bench.py's utilization accounting via march_pallas
         res = MarchResult(t, origin + t[:, None] * direction, index, hit,
-                          jnp.zeros((), jnp.int32))
+                          jnp.max(lane_iters))
     else:
         res = _march_loop(
             jax.lax.stop_gradient(scene),

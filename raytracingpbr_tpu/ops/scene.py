@@ -264,13 +264,34 @@ def bounding_radius(scene: Scene) -> Optional[jax.Array]:
     for scenes with unbounded objects (PLANE)."""
     if SHAPE.PLANE in scene.shape_types:
         return None
-    # |center| + circumscribed radius per object; sqrt(3)*max(scale) covers
-    # every primitive (box half-extents, sphere/cylinder/cone radii/heights)
-    # and the bunny MLP's unit-sphere support (its scale is its world size).
+    # |center| + exact circumscribed radius per object (shape types are
+    # static, so this is a host-side loop over per-shape formulas):
+    #   SPHERE   r = s0
+    #   BOX      r = |scale| + box_round (the round radius extends outward)
+    #   CYLINDER r = sqrt(s0^2 + s1^2)
+    #   CONE     cap rim at q = s1*s2/s0, y = -s1 -> r = s1*sqrt(s0^2+s2^2)/s0
+    #   BUNNY    MLP support is the unit sphere in LOCAL coords regardless of
+    #            scene.scale (ops/sdf.sd_bunny ignores scale) -> r = 1
+    radii = []
+    for i, t in enumerate(scene.shape_types):
+        s0, s1, s2 = scene.scale[i, 0], scene.scale[i, 1], scene.scale[i, 2]
+        if t == SHAPE.SPHERE:
+            r = s0
+        elif t == SHAPE.BOX:
+            r = jnp.sqrt(s0 * s0 + s1 * s1 + s2 * s2) + scene.box_round
+        elif t == SHAPE.CYLINDER:
+            r = jnp.sqrt(s0 * s0 + s1 * s1)
+        elif t == SHAPE.CONE:
+            r = s1 * jnp.sqrt(s0 * s0 + s2 * s2) / jnp.maximum(s0, 1e-6)
+        elif t == SHAPE.BUNNY:
+            r = jnp.float32(1.0)
+        else:  # SHAPE.NONE
+            r = jnp.float32(0.0)
+        radii.append(r)
+    r_shape = jnp.stack(radii)
     r_obj = (jnp.linalg.norm(scene.position + 0.0, axis=-1)
              + jnp.linalg.norm(scene.local_offset, axis=-1)
-             + jnp.sqrt(3.0) * jnp.max(scene.scale, axis=-1)
-             + scene.box_round)
+             + r_shape)
     return jnp.max(r_obj) * 1.05 + 0.1
 
 

@@ -164,7 +164,20 @@ def _nearest_tile(scene_types, obj_params, x, y, z, box_round,
             py = pr[9] * tx + pr[10] * ty + pr[11] * tz + pr[16]
             pz = pr[12] * tx + pr[13] * ty + pr[14] * tz + pr[17]
         if t == SHAPE.BUNNY:
-            d = jnp.abs(_bunny_tile(bunny_ref, px, py, pz))
+            # Tile-level support guard: the sin-MLP is only valid (and only
+            # needed) inside the unit sphere; outside, sd_bunny falls back to
+            # the analytic ``r - 0.8`` (bunny_sdf_glass.py:151-155). The MLP
+            # is ~650 VPU FMAs + 48 sins per eval — by far the most expensive
+            # SDF — and a bunny occupies a small screen fraction, so most
+            # (8,128) tiles never have a lane inside the support during most
+            # march iterations. One cross-lane min + lax.cond skips the MLP
+            # for the whole tile in that common case (lanes are pixel-
+            # coherent, so the guard hits).
+            r2 = px * px + py * py + pz * pz
+            d = jax.lax.cond(
+                jnp.min(r2) <= 1.0,  # <= : at r == 1 _bunny_tile uses the MLP
+                lambda: jnp.abs(_bunny_tile(bunny_ref, px, py, pz)),
+                lambda: jnp.sqrt(r2) - 0.8)  # r > 1 everywhere -> positive
         else:
             d = jnp.abs(
                 _sd_tile(t, px, py, pz, pr[3], pr[4], pr[5], box_round))
@@ -174,6 +187,29 @@ def _nearest_tile(scene_types, obj_params, x, y, z, box_round,
     return best, idx
 
 
+def resolve_chunk(cfg: RenderConfig) -> int:
+    """March-loop unroll: iterations per cross-lane convergence check.
+
+    Amortizes the cross-lane any-active reduction and loop branch over
+    several masked iterations; post-convergence work inside a chunk is
+    masked out, so semantics are chunk-invariant. 32 measured best on v5e
+    for the cornell wavefront (mixed-state march 7.7ms @8 -> 6.8ms @32);
+    64 blows up Mosaic compile time. Interpreter/CPU runs (tests) keep a
+    small unroll — there the masked extra iterations are real work.
+    """
+    if cfg.march_chunk is not None:
+        if cfg.max_raymarch % cfg.march_chunk != 0:
+            raise ValueError(
+                f"march_chunk={cfg.march_chunk} must divide "
+                f"max_raymarch={cfg.max_raymarch} (chunked unrolling must "
+                "not overshoot the iteration budget)")
+        target = cfg.march_chunk
+    else:
+        target = 32 if jax.default_backend() not in ("cpu", "gpu") else 4
+    return next((c for c in (target, 16, 8, 4) if c <= target
+                 and cfg.max_raymarch % c == 0), 1)
+
+
 def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
                   box_round: float, has_bunny: bool, has_active: bool,
                   rot_perm: Tuple = None, has_bound: bool = False):
@@ -181,7 +217,7 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
     bunny_ref = refs.pop(0) if has_bunny else None
     act_ref = refs.pop(0) if has_active else None
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-     t_ref, idx_ref, hit_ref) = refs
+     t_ref, idx_ref, hit_ref, iters_ref) = refs
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
@@ -194,28 +230,16 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
     pixel_radius = cfg.pixel_radius
     w0 = cfg.omega
     rollback_allowed = cfg.omega_policy != OmegaPolicy.CONSTANT
-    # Amortize the cross-lane any-active reduction and loop branch over
-    # several masked iterations; post-convergence work inside a chunk is
-    # masked out, so semantics are chunk-invariant. 32 measured best on v5e
-    # for the cornell wavefront (mixed-state march 7.7ms @8 -> 6.8ms @32;
-    # the VPU pipelines the unrolled body, the reduction+branch is the
-    # cost); 64 blows up Mosaic compile time. Interpreter/CPU runs (tests)
-    # keep a small unroll — there the masked extra iterations are real work.
-    if cfg.march_chunk is not None:
-        target = cfg.march_chunk
-    else:
-        target = 32 if jax.default_backend() not in ("cpu", "gpu") else 4
-    chunk = next((c for c in (target, 16, 8, 4) if c <= target
-                  and cfg.max_raymarch % c == 0), 1)
+    chunk = resolve_chunk(cfg)
 
     # Masks live in the loop carry as int32 (0/1) — Mosaic does not lower
     # i1 vectors in while-loop carries ("unsupported target bitwidth").
     def cond(st):
-        i, t, w, s, d, idx, hit, done = st
+        i, t, w, s, d, idx, hit, done, fin = st
         return (i < cfg.max_raymarch) & (jnp.min(done) < 1)
 
     def body(st):
-        i, t, w, s, d, idx, hit, done = st
+        i, t, w, s, d, idx, hit, done, fin = st
         x = ox + t * dx
         y = oy + t * dy
         z = oz + t * dz
@@ -227,7 +251,9 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
             rollback = jnp.zeros_like(t) > 1.0
             w_next = w
         else:
-            rollback = ld + dist < s
+            # relative epsilon: exact bound-touching (ld + dist == s) must
+            # roll back or the ray tunnels — see ops/march.py body()
+            rollback = ld + dist < s * (1.0 + 1e-6)
             if cfg.omega_policy == OmegaPolicy.ROLLBACK_TO_ONE:
                 rollback = rollback & (w > 1.0)
                 w_next = jnp.where(rollback, 1.0, w)
@@ -256,6 +282,10 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
                                  & (x * dx + y * dy + z * dz > 0.0))
         done_new = jnp.maximum(
             done, (upd & (hit_now | escaped)).astype(jnp.int32))
+        # record each lane's convergence iteration (1-based count of body
+        # evaluations it actually needed) — the load-imbalance /
+        # utilization-accounting signal (see march_pallas docstring)
+        fin = jnp.where((done < 1) & (done_new > 0), i + 1, fin)
         return (i + 1,
                 t_new,
                 jnp.where(active, w_next, w),
@@ -263,7 +293,8 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
                 jnp.where(active, dist, d),
                 jnp.where(active, index, idx),
                 hit_new,
-                done_new)
+                done_new,
+                fin)
 
     def chunk_body(st):
         for _ in range(chunk):
@@ -276,6 +307,7 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
     # nearest() evaluation (adaptive-sampling gate, dead megakernel lanes)
     done0 = ((1 - act_ref[:]) if has_active
              else jnp.zeros(shape, jnp.int32))
+    fin0 = done0 * 0 + (1 - done0) * jnp.int32(cfg.max_raymarch)
     st = jax.lax.while_loop(cond, chunk_body, (
         jnp.zeros((), jnp.int32),
         f(cfg.march_t0),
@@ -285,11 +317,13 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
         jnp.zeros(shape, jnp.int32),
         jnp.zeros(shape, jnp.int32),
         done0,
+        fin0,
     ))
-    _, t, w, s, d, idx, hit, done = st
+    i_final, t, w, s, d, idx, hit, done, fin = st
     t_ref[:] = t
     idx_ref[:] = idx
     hit_ref[:] = hit
+    iters_ref[:] = fin
 
 
 def _pad_to_tile(x: jax.Array) -> Tuple[jax.Array, int]:
@@ -334,14 +368,15 @@ def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
         # pad lanes are inactive (padding rays must not march)
         a_pad, _ = _pad_to_tile(active.astype(jnp.int32))
         act = [a_pad.reshape(shape3)]
-    t, idx, hit = pl.pallas_call(
+    t, idx, hit, iters = pl.pallas_call(
         kernel,
         grid=(tiles,),
         in_specs=([full_spec] * (1 + len(extra))
                   + [tile_spec] * (len(act) + 6)),
-        out_specs=[tile_spec] * 3,
+        out_specs=[tile_spec] * 4,
         out_shape=[
             jax.ShapeDtypeStruct(shape3, jnp.float32),
+            jax.ShapeDtypeStruct(shape3, jnp.int32),
             jax.ShapeDtypeStruct(shape3, jnp.int32),
             jax.ShapeDtypeStruct(shape3, jnp.int32),
         ],
@@ -350,13 +385,19 @@ def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
     t = t.reshape(num)[:n]
     idx = idx.reshape(num)[:n]
     hit = hit.reshape(num)[:n].astype(bool)
-    return t, idx, hit
+    lane_iters = iters.reshape(num)[:n]
+    return t, idx, hit, lane_iters
 
 
 def march_pallas(scene: Scene, origin: jax.Array, direction: jax.Array,
                  cfg: RenderConfig, active=None):
-    """Fused-march entry: returns ``(t, index, hit)`` matching
-    ``ops.march._march_loop`` — primitive and neural-bunny scenes.
+    """Fused-march entry: returns ``(t, index, hit, lane_iters)`` — the
+    first three match ``ops.march._march_loop``; ``lane_iters`` is the (N,)
+    per-lane convergence iteration (how many body evaluations each lane
+    actually needed; ``max_raymarch`` if it never converged, 0 if gated
+    inactive). Each (8,128) tile executes ``ceil(max(lane_iters in tile) /
+    chunk) * chunk`` iterations in lock-step — the utilization and
+    load-imbalance accounting input (utils/speedlight.py).
     ``active``: optional (N,) bool lane gate (see ``ops.march.march``)."""
     has_bound = cfg.escape_bound and SHAPE.PLANE not in scene.shape_types
     params = pack_scene(scene, escape_bound=has_bound)

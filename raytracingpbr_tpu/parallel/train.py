@@ -31,8 +31,13 @@ from .mesh import SAMPLE_AXIS, TILE_AXIS
 def render_pixels(scene: Scene, env: Environment, cam: Camera,
                   pixel_id: jax.Array, cfg: RenderConfig, spp: int,
                   sample_offset: int | jax.Array = 0,
-                  differentiable: bool = True) -> jax.Array:
-    """Differentiable linear-radiance estimate for a pixel-id batch."""
+                  differentiable: bool | str = True) -> jax.Array:
+    """Differentiable linear-radiance estimate for a pixel-id batch.
+
+    ``differentiable``: ``True`` = scan-AD (attached, incl. geometry params,
+    memory O(bounces)); ``"replay"`` = path-replay backward (material/env
+    params at reference bounce budgets, memory O(rays); ``ops/replay.py``).
+    """
     acc = jnp.zeros((pixel_id.shape[0], 3))
     for k in range(spp):
         s = jnp.asarray(sample_offset) + jnp.uint32(k)

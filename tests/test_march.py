@@ -106,6 +106,29 @@ def test_bounding_radius_none_for_plane_scene():
     assert bool(res.hit[0])
 
 
+def test_snapped_wall_perpendicular_no_tunneling():
+    """Regression: with snapped axis-aligned rotations, a perpendicular ray
+    at the engine-default w=1.6 lands EXACTLY on the touching-bounds knife
+    edge (ld + d == s in exact f32) — the reference's strict `<` rollback
+    (src/scene.py:67) tunnels through the wall. Our epsilon-relaxed rollback
+    must hit, for a cornell-wall-like box from a range of heights."""
+    cfg = CONFIGS["src_engine"].replace(max_raymarch=256)
+    # thin axis-aligned box "wall" spanning y=0 plane region, like a
+    # cornell wall after _snap_and_classify makes its rotation exact
+    wall = sc.make_scene([ObjectSpec(SHAPE.BOX, position=(0, -0.05, 0),
+                                     scale=(4.0, 0.05, 4.0))],
+                         box_round=0.0)
+    heights = jnp.array([0.5, 1.0, 2.0, 3.0, 4.0, 8.0])
+    o = jnp.stack([jnp.zeros_like(heights), heights,
+                   jnp.zeros_like(heights)], -1)
+    d = jnp.tile(jnp.array([[0.0, -1.0, 0.0]]), (len(heights), 1))
+    res = ml.march(wall, o, d, cfg, differentiable=False)
+    assert bool(res.hit.all()), np.asarray(res.hit)
+    # each lane stops at its wall surface, not beyond it
+    np.testing.assert_allclose(np.asarray(res.t), np.asarray(heights),
+                               rtol=0.05)
+
+
 def test_interior_ray_hits_from_inside():
     """abs() in nearest makes surfaces two-sided (src/scene.py:52)."""
     cfg = CONFIGS["glass"]

@@ -38,7 +38,7 @@ def test_pallas_march_matches_xla(scene_fn, cfg):
     scene = scene_fn()
     o, d = rays_for(cfg)
     ref = ml.march(scene, o, d, cfg, differentiable=False)
-    t, idx, hit = mk.march_pallas(scene, o, d, cfg)
+    t, idx, hit, _ = mk.march_pallas(scene, o, d, cfg)
     h_ref = np.array(ref.hit)
     h_pl = np.array(hit)
     agree = (h_ref == h_pl)
@@ -57,7 +57,7 @@ def test_pallas_march_padding():
     scene = cornell.minimal_scene()
     cfg = cornell.minimal_config()
     o, d = rays_for(cfg, n=777)
-    t, idx, hit = mk.march_pallas(scene, o, d, cfg)
+    t, idx, hit, _ = mk.march_pallas(scene, o, d, cfg)
     assert t.shape == (777,)
     ref = ml.march(scene, o, d, cfg, differentiable=False)
     agree = np.array(hit) == np.array(ref.hit)
@@ -77,7 +77,7 @@ def test_pallas_bunny_matches_xla():
     o = jnp.asarray(o, jnp.float32)
     d = jnp.asarray(d, jnp.float32)
     ref = ml.march(scene, o, d, cfg, differentiable=False, backend="xla")
-    t, idx, hit = mk.march_pallas(scene, o, d, cfg)
+    t, idx, hit, _ = mk.march_pallas(scene, o, d, cfg)
     h_ref, h_pl = np.array(ref.hit), np.array(hit)
     agree = h_ref == h_pl
     assert h_ref.mean() > 0.2  # sanity: a decent fraction hits the bunny
@@ -97,7 +97,7 @@ def test_pallas_animated_scene_offset():
     o = jnp.tile(jnp.array([[0.0, 0.0, 2.5]]), (mk.TILE, 1))
     d = jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (mk.TILE, 1))
     ref = ml.march(scene, o, d, cfg, differentiable=False, backend="xla")
-    t, idx, hit = mk.march_pallas(scene, o, d, cfg)
+    t, idx, hit, _ = mk.march_pallas(scene, o, d, cfg)
     assert bool(np.array(hit)[0]) == bool(np.array(ref.hit)[0])
     np.testing.assert_allclose(float(t[0]), float(ref.t[0]), rtol=2e-3)
 
@@ -110,7 +110,7 @@ def test_pallas_march_active_gate():
     o, d = rays_for(cfg)
     full = mk.march_pallas(scene, o, d, cfg)
     active = jnp.asarray(np.arange(mk.TILE) % 3 != 0)
-    t, idx, hit = mk.march_pallas(scene, o, d, cfg, active=active)
+    t, idx, hit, _ = mk.march_pallas(scene, o, d, cfg, active=active)
     a = np.array(active)
     np.testing.assert_array_equal(np.array(hit)[a], np.array(full[2])[a])
     np.testing.assert_array_equal(np.array(t)[a], np.array(full[0])[a])

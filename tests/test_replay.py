@@ -1,0 +1,115 @@
+"""Path-replay backprop (ops/replay.py): forward bit-exactness vs the
+megakernel, gradient equivalence vs scan-AD on material/env parameters, and
+deep-bounce (reference-budget, 128) gradients — VERDICT r2 item 4."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raytracingpbr_tpu.core import rng as rnglib
+from raytracingpbr_tpu.models import cornell
+from raytracingpbr_tpu.ops import camera as cameralib
+from raytracingpbr_tpu.ops import integrator as integ
+from raytracingpbr_tpu.ops import replay as replaylib
+
+
+def setup(n=96, max_raytrace=16, seed=1):
+    scene = cornell.full_scene()
+    cfg = cornell.full_config().replace(max_raytrace=max_raytrace)
+    cam = cornell.full_camera()
+    env = cornell.sky()
+    rng = np.random.default_rng(seed)
+    pid = jnp.asarray(
+        rng.choice(cfg.num_pixels, size=n, replace=False).astype(np.uint32))
+    u = rnglib.uniform4(pid, 0, 1, cfg.seed)
+    uv = cameralib.pixel_uv(pid, cfg.width, cfg.height, u[0], u[1])
+    rays = cameralib.get_ray(cam, uv, u[2], u[3])
+    return scene, env, cam, cfg, pid, rays
+
+
+def test_replay_forward_bit_exact():
+    """The replay module's forward must equal megakernel_trace bit-for-bit
+    (same RNG counters, same f32 arithmetic order) — the property the
+    backward replay's correctness rests on."""
+    scene, env, cam, cfg, pid, rays = setup()
+    ref = integ.megakernel_trace(scene, env, rays, pid, 0, cfg,
+                                 differentiable=False)
+    got = integ.megakernel_trace(scene, env, rays, pid, 0, cfg,
+                                 differentiable="replay")
+    np.testing.assert_array_equal(np.asarray(got.color),
+                                  np.asarray(ref.color))
+
+
+@pytest.mark.parametrize("field", ["albedo", "emission"])
+def test_replay_grads_match_scan_ad(field):
+    """Replay and scan-AD compute the SAME estimator for throughput-factor
+    parameters; their gradients must agree to f32 accumulation tolerance."""
+    scene, env, cam, cfg, pid, rays = setup(max_raytrace=12)
+    g_ref = jnp.ones((pid.shape[0], 3)) / pid.shape[0]
+
+    def loss(sc, mode):
+        out = integ.megakernel_trace(sc, env, rays, pid, 0, cfg,
+                                     differentiable=mode)
+        return jnp.sum(out.color * g_ref)
+
+    grad_scan = jax.grad(lambda sc: loss(sc, True))(scene)
+    grad_rep = jax.grad(lambda sc: loss(sc, "replay"))(scene)
+    a = np.asarray(getattr(grad_scan, field))
+    b = np.asarray(getattr(grad_rep, field))
+    assert np.abs(a).max() > 0  # the test must exercise a real gradient
+    np.testing.assert_allclose(b, a, rtol=2e-4, atol=2e-6 * np.abs(a).max())
+
+
+def test_replay_env_scale_grad_matches_scan_ad():
+    scene, env, cam, cfg, pid, rays = setup(max_raytrace=12)
+    # give the sky some energy so miss lanes contribute
+    from raytracingpbr_tpu.ops.ibl import constant_sky
+    env = constant_sky((0.4, 0.5, 0.6))
+
+    def loss(en, mode):
+        out = integ.megakernel_trace(scene, en, rays, pid, 0, cfg,
+                                     differentiable=mode)
+        return jnp.mean(out.color)
+
+    a = jax.grad(lambda en: loss(en, True))(env)
+    b = jax.grad(lambda en: loss(en, "replay"))(env)
+    assert float(jnp.abs(a.color_a).max()) > 0
+    np.testing.assert_allclose(np.asarray(b.color_a), np.asarray(a.color_a),
+                               rtol=2e-4)
+    np.testing.assert_allclose(float(b.scale), float(a.scale), rtol=2e-4)
+
+
+def test_replay_deep_bounce_reference_budget():
+    """Gradient at the reference's cornell bounce budget (128,
+    cornell_box.py:19) — the depth scan-AD cannot reach with bounded memory.
+    Cross-checked against scan-AD on a small lane batch (scan at 128 bounces
+    on 48 lanes is affordable in a test)."""
+    scene, env, cam, cfg, pid, rays = setup(n=48, max_raytrace=128)
+
+    def loss(sc, mode):
+        out = integ.megakernel_trace(sc, env, rays, pid, 0, cfg,
+                                     differentiable=mode)
+        return jnp.mean(out.color)
+
+    g_rep = jax.jit(jax.grad(lambda sc: loss(sc, "replay")))(scene)
+    g_scan = jax.jit(jax.grad(lambda sc: loss(sc, True)))(scene)
+    a = np.asarray(g_scan.albedo)
+    b = np.asarray(g_rep.albedo)
+    assert np.isfinite(b).all()
+    assert np.abs(b).max() > 0
+    np.testing.assert_allclose(b, a, rtol=5e-4, atol=1e-6 * np.abs(a).max())
+
+
+def test_replay_through_render_pixels():
+    """The distributed-training entry accepts the replay mode."""
+    from raytracingpbr_tpu.parallel import train as ptrain
+    scene, env, cam, cfg, pid, rays = setup(n=64, max_raytrace=32)
+
+    def loss(sc):
+        img = ptrain.render_pixels(sc, env, cam, pid, cfg, spp=1,
+                                   differentiable="replay")
+        return jnp.mean(img)
+
+    g = jax.jit(jax.grad(loss))(scene)
+    assert np.isfinite(np.asarray(g.albedo)).all()
+    assert float(jnp.abs(g.albedo).max()) > 0
