@@ -119,6 +119,19 @@ class RenderConfig:
     # scenes containing unbounded objects (PLANE).
     escape_bound: bool = False
 
+    # Next-event estimation against the environment map (no reference analog;
+    # the reference's IBL is a plain lookup, src/ibl.py:37-40, so bright sky
+    # features — the sun in a sun-lit HDR — converge only by chance BSDF
+    # hits). When on, every diffuse bounce draws one direction from the
+    # envmap-luminance alias table baked into the Environment
+    # (ops/ibl.with_env_sampler), traces a shadow ray, and banks
+    # throughput * albedo * cos/(pi*pdf) * L * visibility; the sky lookup at
+    # the NEXT segment is zeroed for diffuse-sampled continuations so the two
+    # estimators partition the integrand exactly (no MIS weights needed, no
+    # double counting — ops/integrator._nee_env). Specular/refracted
+    # continuations keep the plain lookup. Off for parity oracles.
+    env_sampling: bool = False
+
     roulette: Roulette = Roulette.DEPTH_LINEAR
     light_quality: float = 128.0     # EXP-roulette divisor; cornell_box.py:31
 

@@ -114,6 +114,10 @@ class FrameState:
     # reprojection warps the accumulator with (ops/reproject.py — the
     # reference's own ToDo, src/renderer.py:22).
     hit_t: jax.Array       # (N,) f32
+    # With cfg.env_sampling: the path's last completed bounce sampled the
+    # diffuse lobe, so its sky lookup this segment is zeroed (that radiance
+    # was banked by NEE at the previous vertex — ops/integrator._nee_env).
+    nee_flag: jax.Array    # (N,) bool
 
 
 def make_frame_state(n: int, dtype=jnp.float32) -> FrameState:
@@ -127,6 +131,7 @@ def make_frame_state(n: int, dtype=jnp.float32) -> FrameState:
         pixels=jnp.zeros((n, 3), dtype),
         respawn=jnp.zeros((n,), jnp.uint32),
         hit_t=jnp.full((n,), NO_HIT_T, dtype),
+        nee_flag=jnp.zeros((n,), bool),
     )
 
 
@@ -145,4 +150,5 @@ def refresh(state: FrameState) -> FrameState:
         noise=jnp.full_like(state.noise, 1e32),
         respawn=jnp.zeros_like(state.respawn),
         hit_t=jnp.full_like(state.hit_t, NO_HIT_T),
+        nee_flag=jnp.zeros_like(state.nee_flag),
     )

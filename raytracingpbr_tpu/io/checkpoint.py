@@ -37,6 +37,7 @@ def save(path: str, state: FrameState, meta: Optional[dict] = None) -> None:
         "pixels": state.pixels,
         "respawn": state.respawn,
         "hit_t": state.hit_t,
+        "nee_flag": state.nee_flag,
     }
     host = {k: np.asarray(jax.device_get(v)) for k, v in leaves.items()}
     host["_meta"] = np.frombuffer(
@@ -66,6 +67,8 @@ def load(path: str) -> Tuple[FrameState, dict]:
             respawn=(z["respawn"] if "respawn" in z else
                      np.zeros(z["noise"].shape, np.uint32)),
             hit_t=(z["hit_t"] if "hit_t" in z else
-                   np.full(z["noise"].shape, 1e10, np.float32)))
+                   np.full(z["noise"].shape, 1e10, np.float32)),
+            nee_flag=(z["nee_flag"] if "nee_flag" in z else
+                      np.zeros(z["noise"].shape, bool)))
         meta = json.loads(bytes(z["_meta"]).decode()) if "_meta" in z else {}
     return jax.tree.map(lambda x: np.asarray(x), state), meta

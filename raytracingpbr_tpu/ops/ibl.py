@@ -40,6 +40,11 @@ class Environment:
     scale: jax.Array = 1.0              # post-lookup multiplier
     color_a: Optional[jax.Array] = None  # gradient horizon / constant color
     color_b: Optional[jax.Array] = None  # gradient zenith
+    # Optional NEE alias table (with_env_sampler); consumed by the
+    # integrators when cfg.env_sampling is on. None = no table baked.
+    s_prob: Optional[jax.Array] = None   # (W*H,) acceptance prob per texel
+    s_alias: Optional[jax.Array] = None  # (W*H,) i32 alias texel
+    s_pdf: Optional[jax.Array] = None    # (W, H) solid-angle pdf per texel
 
 
 def black_sky(dtype=jnp.float32) -> Environment:
@@ -253,6 +258,45 @@ def sample_env_alias(sampler: EnvAliasSampler, u1: jax.Array,
         [cl * jnp.cos(phi), jnp.sin(lat), cl * jnp.sin(phi)], axis=-1)
     radiance = img[x, y] * sampler.env.scale
     pdf = sampler.pdf_map[x, y]
+    return direction, radiance, pdf
+
+
+def with_env_sampler(env: Environment) -> Environment:
+    """Bake the alias-method importance table into the Environment so NEE
+    (``cfg.env_sampling``) needs no side-channel sampler object — the table
+    rides the env pytree through jit/shard_map unchanged. HDR maps only."""
+    if SkyKind(env.kind) != SkyKind.HDR:
+        raise ValueError("env_sampling requires an HDR environment; got "
+                         f"{env.kind}")
+    s = build_env_alias_sampler(env)
+    return env.replace(s_prob=s.prob, s_alias=s.alias,
+                       s_pdf=s.pdf_map.astype(env.image.dtype))
+
+
+def sample_env_baked(env: Environment, u: jax.Array):
+    """Draw directions ~ envmap luminance from the table baked by
+    :func:`with_env_sampler`. One uniform per lane (alias method: integer
+    part picks the cell, fractional part the accept/alias branch).
+    Returns (direction (N, 3), radiance (N, 3), pdf (N,))."""
+    img = env.image
+    w, h = img.shape[0], img.shape[1]
+    n = w * h
+    scaled = u * n
+    cell = jnp.clip(scaled.astype(jnp.int32), 0, n - 1)
+    frac = scaled - cell.astype(scaled.dtype)
+    take_alias = frac >= env.s_prob[cell]
+    texel = jnp.where(take_alias, env.s_alias[cell], cell)
+    x = texel // h
+    y = texel % h
+    uu = (x.astype(img.dtype) + 0.5) / w
+    vv = (y.astype(img.dtype) + 0.5) / h
+    phi = (uu - 0.5) * (2 * jnp.pi)
+    lat = (vv - 0.5) * jnp.pi
+    cl = jnp.cos(lat)
+    direction = jnp.stack(
+        [cl * jnp.cos(phi), jnp.sin(lat), cl * jnp.sin(phi)], axis=-1)
+    radiance = img[x, y] * env.scale
+    pdf = env.s_pdf[x, y]
     return direction, radiance, pdf
 
 

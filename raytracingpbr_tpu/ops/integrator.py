@@ -37,17 +37,62 @@ from . import march as marchlib
 from . import post as postlib
 from . import scene as scenelib
 from . import shade as shadelib
-from .ibl import Environment, sky_color
+from .ibl import Environment, sample_env_baked, sky_color
 from .scene import Scene
 
 # RNG stream ids (use-sites within one wavefront step / bounce)
 _S_ROULETTE = 0
 _S_CAMERA = 1   # jitter x/y + lens u/v
 _S_SHADE = 2    # hemisphere u/v + lobe u/v
+_S_NEE = 3      # env alias-table draw
 
 
 def _where(mask, a, b):
     return jnp.where(mask[:, None] if a.ndim == 2 else mask, a, b)
+
+
+def _nee_env(scene: Scene, env: Environment, index, position, direction,
+             normal, outer, albedo, gate, pixel_id, counter,
+             cfg: RenderConfig, roughness_fresnel: bool = False,
+             lobe_prob: bool = True):
+    """One next-event sample toward the environment at a surface vertex.
+
+    Estimates the diffuse-lobe env integral
+    ``∫ L_env(ω) P_diffuse(ω) (albedo/π) cosθ dω`` with one alias-table draw
+    (``ops/ibl.sample_env_baked``) and a shadow march, where ``P_diffuse(ω)``
+    is the lobe-roulette's conditional probability of scattering diffusely
+    INTO ω (``shade.diffuse_lobe_prob`` — the roulette is correlated with the
+    scatter direction, so a plain diffuse-selected gate would be biased).
+    Lanes outside ``gate`` do no march work. The paired sky-zeroing in
+    ``_trace_one_bounce`` removes exactly this integral from the continuation
+    estimator, so the partition is exact (cfg.env_sampling docstring).
+    ``lobe_prob=False`` skips the probability weight (diffuse-only shading,
+    where every bounce is diffuse). Returns the banked radiance (N, 3) —
+    multiply by the arriving throughput.
+    """
+    if env.s_prob is None:
+        raise ValueError(
+            "cfg.env_sampling requires an environment with a baked alias "
+            "table — build it with ops.ibl.with_env_sampler(env)")
+    dtype = position.dtype
+    u = rnglib.uniform(pixel_id, counter, _S_NEE, cfg.seed, dtype)
+    d_l, radiance, pdf = sample_env_baked(env, u)
+    cos = jnp.sum(d_l * normal, -1)
+    gate = gate & (cos > 0.0)
+    origin = position + normal * cfg.min_dis
+    # Visibility only — escape_bound is exact for a binary occlusion test
+    # (bounding_radius returns None for unbounded scenes; then it's a no-op).
+    res = marchlib.march(scene, origin, d_l, cfg.replace(escape_bound=True),
+                         differentiable=False, active=gate)
+    visible = gate & ~res.hit
+    scale = jnp.where(visible,
+                      cos / (jnp.pi * jnp.maximum(pdf, 1e-12)),
+                      jnp.zeros_like(cos))
+    if lobe_prob:
+        scale = scale * shadelib.diffuse_lobe_prob(
+            scene, index, direction, normal, outer, d_l, cfg,
+            roughness_fresnel=roughness_fresnel)
+    return albedo * radiance * scale[:, None]
 
 
 def _trace_one_bounce(scene: Scene, env: Environment, rays: Rays,
@@ -55,12 +100,18 @@ def _trace_one_bounce(scene: Scene, env: Environment, rays: Rays,
                       differentiable: bool = False,
                       roughness_fresnel: bool = False,
                       restart_at_hit: bool = False,
-                      active: Optional[jax.Array] = None) -> Rays:
+                      active: Optional[jax.Array] = None,
+                      prev_diffuse: Optional[jax.Array] = None):
     """One ``raytrace`` bounce (``src/pathtracer.py:16-36``): march, then
     surface interaction or sky, emission multiply, brightness termination.
     ``counter`` is the RNG step counter for this bounce's draws. ``active``
     lanes marked False skip march work (their outputs are discarded by the
-    caller).
+    caller). ``prev_diffuse``: with ``cfg.env_sampling``, lanes whose last
+    completed bounce sampled the diffuse lobe — their sky lookup is zeroed
+    (that radiance was already banked by NEE at the previous vertex).
+    Returns ``(traced, t, hit, nee, next_diffuse)``; ``nee`` is the banked
+    NEE radiance (None when env sampling is off), ``next_diffuse`` the flag
+    to carry to the next segment.
     """
     res = marchlib.march(scene, rays.origin, rays.direction, cfg,
                          differentiable=differentiable, active=active)
@@ -93,6 +144,31 @@ def _trace_one_bounce(scene: Scene, env: Environment, rays: Rays,
         color_miss = color_miss * (depth_miss < -1).astype(color_miss.dtype)[:, None]
 
     hit = res.hit
+    nee = None
+    next_diffuse = None
+    if cfg.env_sampling:
+        if prev_diffuse is not None:
+            # env radiance through a diffuse bounce was banked by NEE at the
+            # previous vertex — zero the continuation's sky lookup so the two
+            # estimators partition the integrand exactly
+            color_miss = color_miss * (
+                ~prev_diffuse).astype(color_miss.dtype)[:, None]
+        # NEE at vertices whose path continues (``stop`` lanes end here in
+        # the reference's brightness-termination sense — their diffuse
+        # continuation never samples the sky, so NEE would add radiance the
+        # plain estimator truncates; gate it off to keep the same mean). The
+        # P_diffuse(ω_l) weight inside _nee_env carries the lobe-selection
+        # probability, so the bank applies at EVERY continuing hit.
+        gate = hit & ~stop
+        if active is not None:
+            gate = gate & active
+        nee = _nee_env(scene, env, res.index, res.position, rays.direction,
+                       inter.normal, inter.outer, inter.color_scale, gate,
+                       pixel_id, counter, cfg,
+                       roughness_fresnel=roughness_fresnel)
+        nee = rays.color * nee
+        next_diffuse = gate & inter.diffuse
+
     traced = Rays(
         origin=_where(hit, inter.origin, res.position),
         direction=_where(hit, inter.direction, rays.direction),
@@ -101,7 +177,7 @@ def _trace_one_bounce(scene: Scene, env: Environment, rays: Rays,
     )
     # march t/hit surface to the caller: for lanes whose segment was a
     # primary camera ray this is the depth buffer (reprojection)
-    return traced, res.t, hit
+    return traced, res.t, hit, nee, next_diffuse
 
 
 # ---------------------------------------------------------------------------
@@ -115,7 +191,8 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
                    active: Optional[jax.Array] = None,
                    differentiable: bool = False,
                    respawn: Optional[jax.Array] = None,
-                   hit_t: Optional[jax.Array] = None):
+                   hit_t: Optional[jax.Array] = None,
+                   nee_flag: Optional[jax.Array] = None):
     """One russian-roulette wavefront step per pixel
     (``src/pathtracer.py:65-77`` -> ``track_once`` -> ``raytrace``).
 
@@ -129,7 +206,9 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
     correlate sample selection with the per-pixel rotation).
     ``hit_t``: optional (N,) primary-hit depth buffer — updated on lanes
     that traced a fresh camera ray this step (reprojection input).
-    Returns ``(rays, accum, respawn, hit_t)``.
+    ``nee_flag``: optional (N,) bool — the path's last completed bounce
+    sampled the diffuse lobe (``cfg.env_sampling`` sky partition).
+    Returns ``(rays, accum, respawn, hit_t, nee_flag)``.
     """
     depth = rays.depth
     dtype = rays.color.dtype
@@ -173,9 +252,14 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
         depth=jnp.where(finished, 0, depth),
     )
 
-    traced, march_t, march_hit = _trace_one_bounce(
+    prev_diffuse = None
+    if cfg.env_sampling and nee_flag is not None:
+        # a respawned lane starts a fresh path: no previous bounce
+        prev_diffuse = nee_flag & ~finished
+    traced, march_t, march_hit, nee, next_diffuse = _trace_one_bounce(
         scene, env, pre, pixel_id, step, cfg,
-        differentiable=differentiable, active=active)
+        differentiable=differentiable, active=active,
+        prev_diffuse=prev_diffuse)
 
     # kill lane (src/pathtracer.py:70-72): zero the contribution, mark
     # terminated; the zero sample deposits on the next step's respawn.
@@ -203,7 +287,19 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
         hit_t = jnp.where(used,
                           jnp.where(march_hit, march_t, NO_HIT_T),
                           hit_t)
-    return new_rays, accum, respawn, hit_t
+    if nee is not None:
+        # bank the NEE radiance additively (no sample-count increment — it is
+        # part of the in-flight path's estimate; alpha ticks at its deposit)
+        bank = survive if active is None else (survive & active)
+        accum = accum + jnp.concatenate(
+            [jnp.where(bank[:, None], nee, 0.0),
+             jnp.zeros_like(u_r)[:, None]], -1)
+    if nee_flag is not None and next_diffuse is not None:
+        keep = survive if active is None else (survive & active)
+        nee_flag = jnp.where(keep, next_diffuse,
+                             prev_diffuse if prev_diffuse is not None
+                             else nee_flag)
+    return new_rays, accum, respawn, hit_t, nee_flag
 
 
 def render_frame(scene: Scene, env: Environment, cam: Camera,
@@ -257,12 +353,14 @@ def render_frame_tile(scene: Scene, env: Environment, cam: Camera,
         active = state.noise > cfg.noise_threshold
 
     respawn, hit_t = state.respawn, state.hit_t
+    nee_flag = state.nee_flag
     k = 0
     for _ in range(cfg.samples_per_frame):
         for _ in range(cfg.samples_per_pixel):
-            rays, accum, respawn, hit_t = wavefront_step(
+            rays, accum, respawn, hit_t, nee_flag = wavefront_step(
                 scene, env, cam, rays, accum, pixel_id, base + k, cfg,
-                active=active, respawn=respawn, hit_t=hit_t)
+                active=active, respawn=respawn, hit_t=hit_t,
+                nee_flag=nee_flag)
             k += 1
 
     pixels, diff_accum, noise = postlib.post_process(
@@ -270,7 +368,7 @@ def render_frame_tile(scene: Scene, env: Environment, cam: Camera,
         diff_accum=state.diff_accum)
     new_state = state.replace(
         rays=rays, accum=accum, frame=state.frame + 1,
-        pixels=pixels, respawn=respawn, hit_t=hit_t,
+        pixels=pixels, respawn=respawn, hit_t=hit_t, nee_flag=nee_flag,
         diff_accum=diff_accum if diff_accum is not None else state.diff_accum,
         noise=noise if noise is not None else state.noise,
     )
@@ -357,6 +455,11 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
     see ``ops/replay.py``).
     """
     if differentiable == "replay":
+        if cfg.env_sampling:
+            raise NotImplementedError(
+                "env_sampling NEE is not yet replayed in the path-replay "
+                "backward pass; use scan-AD (differentiable=True) or turn "
+                "env_sampling off for gradients")
         from .replay import trace_replay
         color = trace_replay(scene, env, rays, pixel_id, sample_idx, cfg,
                              diffuse_only=diffuse_only,
@@ -369,7 +472,11 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
     max_bounce = cfg.max_raytrace
 
     def body(carry, i):
-        origin, direction, color, alive, bounces = carry
+        if cfg.env_sampling:
+            origin, direction, color, alive, bounces, radiance, prev_diff \
+                = carry
+        else:
+            origin, direction, color, alive, bounces = carry
         i = jnp.asarray(i, jnp.int32)
         counter = jnp.asarray(sample_idx, jnp.uint32) * jnp.uint32(
             max_bounce) + i.astype(jnp.uint32)
@@ -396,12 +503,14 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
             new_dir = rnglib.hemispheric(normal, u4[0], u4[1])
             new_origin = res.position
             color_scale = scenelib.materials_at(scene, res.index).albedo
+            diff_lobe = jnp.ones_like(res.hit)
         else:
             inter = shadelib.ray_surface_interaction(
                 scene, res.index, res.position, direction, u4, cfg,
                 roughness_fresnel=roughness_fresnel,
                 restart_at_hit=restart_at_hit)
-            new_dir, new_origin, color_scale = inter
+            new_dir, new_origin, color_scale = inter[:3]
+            normal, diff_lobe = inter.normal, inter.diffuse
 
         # hit: update throughput, test brightness termination
         color_hit = color * color_scale
@@ -417,12 +526,33 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
 
         upd = alive
         hit = res.hit
+        if cfg.env_sampling:
+            # sky partition: diffuse-sampled continuations were already
+            # credited by NEE at the previous vertex
+            color_miss = color_miss * (
+                ~prev_diff).astype(color_miss.dtype)[:, None]
+            gate = upd & hit & ~stop_hit
+            if diffuse_only:
+                side = jnp.ones_like(gate)
+                nee = _nee_env(scene, env, res.index, res.position,
+                               direction, normal, side, color_scale, gate,
+                               pixel_id, counter, cfg, lobe_prob=False)
+            else:
+                nee = _nee_env(scene, env, res.index, res.position,
+                               direction, normal, inter.outer, color_scale,
+                               gate, pixel_id, counter, cfg,
+                               roughness_fresnel=roughness_fresnel)
+            radiance = radiance + jnp.where(gate[:, None], color * nee, 0.0)
+            prev_diff = jnp.where(upd, gate & diff_lobe, prev_diff)
         color = jnp.where((upd & hit)[:, None], color_hit,
                           jnp.where((upd & ~hit)[:, None], color_miss, color))
         origin = _where(upd & hit, new_origin, origin)
         direction = _where(upd & hit, new_dir, direction)
         bounces = bounces + (upd & hit).astype(jnp.int32)
         alive = alive & hit & ~stop_hit
+        if cfg.env_sampling:
+            return (origin, direction, color, alive, bounces,
+                    radiance, prev_diff), None
         return (origin, direction, color, alive, bounces), None
 
     # derive mask/counter inits from the ray arrays so they carry the same
@@ -430,11 +560,12 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
     zero = rays.origin[:, 0] * 0.0
     init = (rays.origin, rays.direction, rays.color,
             zero < 1.0, zero.astype(jnp.int32))
+    if cfg.env_sampling:
+        init = init + (jnp.zeros_like(rays.color), zero > 1.0)
     if differentiable:
         # reverse-mode AD needs a fixed-trip scan (while_loop has no
         # transpose); bounded bounce budgets keep this cheap
-        (o, d, color, alive, bounces), _ = jax.lax.scan(
-            body, init, jnp.arange(max_bounce))
+        out, _ = jax.lax.scan(body, init, jnp.arange(max_bounce))
     else:
         # forward renders exit as soon as every lane has terminated — with
         # roulette + brightness termination the whole batch usually dies
@@ -449,8 +580,11 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
             carry, _ = body(carry, i)
             return i + 1, carry
 
-        _, (o, d, color, alive, bounces) = jax.lax.while_loop(
+        _, out = jax.lax.while_loop(
             w_cond, w_body, (jnp.zeros((), jnp.int32), init))
+    color, bounces = out[2], out[4]
+    if cfg.env_sampling:
+        color = color + out[5]  # banked NEE radiance
     # paths still alive after max bounces contribute their current color
     # (reference loop simply ends; throughput*emission already accumulated)
     return TraceResult(color, bounces)

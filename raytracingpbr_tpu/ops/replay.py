@@ -113,7 +113,7 @@ def _bounce_state(static: _Static, scene: Scene, env: Environment,
             scene, res.index, res.position, direction, u4, cfg,
             roughness_fresnel=static.roughness_fresnel,
             restart_at_hit=static.restart_at_hit)
-        new_dir, new_origin, color_scale = inter
+        new_dir, new_origin, color_scale = inter[:3]
 
     emission = scenelib.materials_at(scene, res.index).emission
 

@@ -37,6 +37,48 @@ class Interaction(NamedTuple):
     direction: jax.Array  # (N, 3) new ray direction
     origin: jax.Array     # (N, 3) new ray origin (restart offset applied)
     color_scale: jax.Array  # (N, 3) multiplicative throughput update (albedo)
+    normal: jax.Array     # (N, 3) true surface normal, faced to the incident
+    diffuse: jax.Array    # (N,) bool — the diffuse lobe was selected (NEE)
+    outer: jax.Array      # (N,) bool — ray arrived from the outside
+
+
+def diffuse_lobe_prob(scene: Scene, index: jax.Array, direction: jax.Array,
+                      normal: jax.Array, outer: jax.Array,
+                      omega_l: jax.Array, cfg: RenderConfig,
+                      roughness_fresnel: bool = False) -> jax.Array:
+    """P(diffuse lobe selected | the hemispheric draw landed on ``omega_l``).
+
+    The lobe roulette in :func:`ray_surface_interaction` is CORRELATED with
+    the scatter direction: ``fr`` is evaluated at ``rough_n(ω_h)`` which is a
+    deterministic function of the hemispheric draw (at roughness 1,
+    ``rough_n`` IS the draw). An NEE estimator of the diffuse-lobe env
+    integral must therefore carry this conditional probability at the light
+    direction — gating on "the lobe roulette picked diffuse" factorizes a
+    correlated product and biases sun-lit surfaces bright by up to ~2x
+    (measured; see tests/test_nee.py). ``u2``/``u3`` marginalize to
+    ``P_reflect = min(1, fr + metallic)`` (1 under TIR) and
+    ``P(refract | ¬reflect) = clip(transmission, 0, 1)``.
+
+    ``normal`` is the incident-faced surface normal and ``outer`` the
+    original sidedness bit, both from the Interaction.
+    """
+    mat = scenelib.materials_at(scene, index)
+    roughness, metallic = mat.roughness, mat.metallic
+    transmission, ior = mat.transmission, mat.ior
+    alpha = (roughness * roughness)[:, None]
+    rough_n = normalize(mix(normal, omega_l, alpha))
+    no_i = dot(rough_n, direction)
+    env_ior = cfg.env_ior
+    eta = jnp.where(outer, env_ior / ior, ior / env_ior)
+    k = 1.0 - eta * eta * (1.0 - no_i * no_i)
+    f0 = 2.0 * (eta - 1.0) / (eta + 1.0)
+    f0 = f0 * f0
+    if roughness_fresnel:
+        fr = fresnel_schlick_roughness(no_i, f0, roughness)
+    else:
+        fr = fresnel_schlick(no_i, f0)
+    p_reflect = jnp.where(k < 0.0, 1.0, jnp.clip(fr + metallic, 0.0, 1.0))
+    return (1.0 - p_reflect) * (1.0 - jnp.clip(transmission, 0.0, 1.0))
 
 
 def ray_surface_interaction(
@@ -110,4 +152,5 @@ def ray_surface_interaction(
         offs = jnp.where(leave_outer, -cfg.min_dis, cfg.min_dis)
         new_origin = position + normal * offs[:, None]
 
-    return Interaction(new_dir, new_origin, albedo)
+    return Interaction(new_dir, new_origin, albedo, normal,
+                       ~take_reflect & ~take_refract, outer)
