@@ -133,7 +133,11 @@ def ray_surface_interaction(
     refl_outer = dot(refl, normal) < 0.0
     refl = jnp.where(refl_outer[:, None], -refl, refl)
 
-    k_safe = jnp.maximum(k, 0.0)
+    # TIR lanes never take the refract lobe, but sqrt(0)'s backward is inf
+    # and 0-cotangent * inf = NaN poisons the whole VJP (visible only in the
+    # f64 gradient oracle; f32 draws happened to miss exact-TIR lanes) —
+    # clamp to a tiny positive floor instead of 0.
+    k_safe = jnp.maximum(k, 1e-12)
     refr = eta[:, None] * i - (jnp.sqrt(k_safe) + eta * no_i)[:, None] * rough_n
 
     # --- stochastic lobe selection (src/pbr.py:48-55) ---

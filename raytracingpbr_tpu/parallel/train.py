@@ -38,10 +38,11 @@ def render_pixels(scene: Scene, env: Environment, cam: Camera,
     memory O(bounces)); ``"replay"`` = path-replay backward (material/env
     params at reference bounce budgets, memory O(rays); ``ops/replay.py``).
     """
-    acc = jnp.zeros((pixel_id.shape[0], 3))
+    dtype = cam.lookfrom.dtype  # follow the data (f32 prod, f64 FD oracles)
+    acc = jnp.zeros((pixel_id.shape[0], 3), dtype)
     for k in range(spp):
         s = jnp.asarray(sample_offset) + jnp.uint32(k)
-        u_cam = rnglib.uniform4(pixel_id, s, 1, cfg.seed)
+        u_cam = rnglib.uniform4(pixel_id, s, 1, cfg.seed, dtype)
         uv = cameralib.pixel_uv(pixel_id, cfg.width, cfg.height,
                                 u_cam[0], u_cam[1])
         rays = cameralib.get_ray(cam, uv, u_cam[2], u_cam[3])

@@ -135,6 +135,96 @@ class TestEnvmapGradients:
         assert g > 0
 
 
+class TestF64Oracle:
+    """The BASELINE.md bar verbatim: finite-difference vs analytic allclose
+    at 1e-3 relative, for every differentiable parameter class.
+
+    f32 FD noise makes that bar meaningless at single precision, so this
+    class runs the whole render in f64 (``jax.enable_x64`` scoped to the
+    test): the camera/scene/env data are f64, the kernels follow the data.
+    The scene uses a smooth bilinear HDR env — with a flat white sky the
+    radiance is dyadic-quantized (albedo 0.5 powers) and piecewise CONSTANT
+    in the geometry parameters, so geometry gradients are legitimately zero
+    there; a direction-dependent sky makes them real. Measured agreement is
+    ~1e-6..1e-11 per class."""
+
+    CFG = None  # built lazily inside the x64 scope
+
+    @staticmethod
+    def _cfg():
+        return base_cfg(max_raymarch=64, hit_precision=1e-7)
+
+    @staticmethod
+    def _env_img():
+        rng = np.random.default_rng(0)
+        base = rng.uniform(0.2, 1.5, (8, 4, 3))
+        return np.kron(base, np.ones((4, 4, 1)))  # smooth 32x16
+
+    def _check(self, make_f, x0, eps=1e-5, rel=1e-3):
+        with jax.enable_x64(True):
+            F = jnp.float64
+            cfg = self._cfg()
+            cam = rt.make_camera(lookfrom=(0.0, 0.0, 3.0),
+                                 lookat=(0.0, 0.0, 0.0), vfov=40.0,
+                                 aspect=1.0, aperture=0.0, focus=1.0,
+                                 dtype=F)
+            env = rt.hdr_environment(jnp.asarray(self._env_img(), F),
+                                     prebake=False, bilinear=True)
+            pid = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+
+            def scene64():
+                return rt.make_scene([ObjectSpec(
+                    SHAPE.SPHERE, position=(0, 0, 0), scale=(1.0,) * 3,
+                    albedo=(0.5, 0.5, 0.5), emission=(1.0, 1.0, 1.0),
+                    roughness=0.5)], dtype=F)
+
+            def mean_img(s, cam=cam, e=env):
+                return jnp.mean(ptrain.render_pixels(s, e, cam, pid, cfg,
+                                                     spp=2))
+
+            f = make_f(F, scene64, mean_img, cam)
+            g = float(jax.grad(f)(jnp.asarray(x0, F)))
+            fd = (float(f(jnp.asarray(x0 + eps, F)))
+                  - float(f(jnp.asarray(x0 - eps, F)))) / (2 * eps)
+            assert np.isfinite(g) and np.isfinite(fd)
+            assert g == pytest.approx(fd, rel=rel, abs=1e-9), (g, fd)
+
+    def test_albedo(self):
+        self._check(lambda F, sc, m, cam: lambda a: m(
+            sc().replace(albedo=jnp.full((1, 3), a, F))), 0.5)
+
+    def test_emission(self):
+        self._check(lambda F, sc, m, cam: lambda e: m(
+            sc().replace(emission=jnp.full((1, 3), e, F))), 2.0)
+
+    def test_roughness(self):
+        self._check(lambda F, sc, m, cam: lambda r: m(
+            sc().replace(roughness=jnp.full((1,), r, F))), 0.5)
+
+    def test_sphere_radius(self):
+        self._check(lambda F, sc, m, cam: lambda r: m(
+            sc().replace(scale=jnp.full((1, 3), r, F))), 1.0)
+
+    def test_object_position(self):
+        self._check(lambda F, sc, m, cam: lambda z: m(
+            sc().replace(position=jnp.zeros((1, 3), F).at[0, 2].set(z))),
+            0.0)
+
+    def test_envmap(self):
+        def make(F, sc, m, cam):
+            img = jnp.asarray(self._env_img(), F)
+
+            def f(v):
+                e = rt.hdr_environment(img * v, prebake=False, bilinear=True)
+                return m(sc(), e=e)
+            return f
+        self._check(make, 1.0)
+
+    def test_camera_lookfrom(self):
+        self._check(lambda F, sc, m, cam: lambda z: m(
+            sc(), cam=cam.replace(lookfrom=cam.lookfrom.at[2].set(z))), 3.0)
+
+
 class TestCameraGradients:
     def test_lookfrom(self):
         cfg = base_cfg()
