@@ -29,16 +29,46 @@ def _tile_counts(mesh: Mesh):
     return mesh.shape[TILE_AXIS], mesh.shape.get(SAMPLE_AXIS, 1)
 
 
+def tile_pixel_ids(ti, n: int, tiles: int, layout: str):
+    """Global pixel ids owned by tile ``ti``.
+
+    ``contiguous``: block ``[ti*n/tiles, (ti+1)*n/tiles)`` — image-order
+    shards, no permutation on gather. ``strided``: ``ti, ti+tiles, ...`` —
+    interleaves scanlines across devices, which evens out the march-depth
+    load (sky vs deep geometry; measured ~35% -> ~2% tile imbalance on
+    cornell, parallel/scaling.py). The counter RNG is keyed on the GLOBAL
+    pixel id, so every layout renders bit-identical pixels.
+    """
+    per = n // tiles
+    k = jnp.arange(per, dtype=jnp.uint32)
+    if layout == "strided":
+        return jnp.uint32(ti) + k * jnp.uint32(tiles)
+    return jnp.uint32(ti) * jnp.uint32(per) + k
+
+
+def unshard_pixels(flat: jax.Array, tiles: int, layout: str) -> jax.Array:
+    """Invert the tile layout: rows of ``flat`` are ordered (tile, slot);
+    return image-flat (pixel-id) order."""
+    if layout != "strided":
+        return flat
+    n = flat.shape[0]
+    per = n // tiles
+    return jnp.swapaxes(flat.reshape(tiles, per, *flat.shape[1:]), 0, 1
+                        ).reshape(flat.shape)
+
+
 def render_image_sharded(scene: Scene, env: Environment, cam: Camera,
                          cfg: RenderConfig, mesh: Mesh,
                          spp: Optional[int] = None,
                          tonemapped: bool = True,
+                         layout: str = "contiguous",
                          **trace_kw) -> jax.Array:
     """Offline still sharded over (tiles, samples).
 
-    Pixels are strided over the tile axis; the spp budget is split over the
-    sample axis, whose partial sums are ``psum``-combined. Output is the
-    full (H, W, 3) image (gathered — display/save time only,
+    Pixels are split over the tile axis (``layout``: contiguous blocks or
+    load-balancing stride — see ``tile_pixel_ids``); the spp budget is split
+    over the sample axis, whose partial sums are ``psum``-combined. Output
+    is the full (H, W, 3) image (gathered — display/save time only,
     SURVEY.md §5 "Distributed")."""
     n = cfg.num_pixels
     spp = spp if spp is not None else cfg.samples_per_pixel
@@ -52,9 +82,8 @@ def render_image_sharded(scene: Scene, env: Environment, cam: Camera,
     def tile_render(_):
         ti = jax.lax.axis_index(TILE_AXIS)
         si = jax.lax.axis_index(SAMPLE_AXIS)
-        # contiguous pixel tile per device; global ids keep RNG shard-invariant
-        pixel_id = (ti * (n // tiles)
-                    + jnp.arange(n // tiles, dtype=jnp.uint32))
+        # global pixel ids keep the RNG shard-invariant under any layout
+        pixel_id = tile_pixel_ids(ti, n, tiles, layout)
         acc = jax.lax.pcast(jnp.zeros((n // tiles, 3), jnp.float32),
                             (TILE_AXIS, SAMPLE_AXIS), to="varying")
 
@@ -75,7 +104,7 @@ def render_image_sharded(scene: Scene, env: Environment, cam: Camera,
             si * spp_local + jnp.arange(spp_local, dtype=jnp.uint32))
         return jax.lax.psum(acc, SAMPLE_AXIS)
 
-    flat = tile_render(jnp.zeros(())) / spp
+    flat = unshard_pixels(tile_render(jnp.zeros(())), tiles, layout) / spp
     if tonemapped:
         from ..ops import post as postlib
         flat = postlib.tonemap(flat, cfg)
@@ -97,16 +126,43 @@ def shard_frame_state(state: FrameState, mesh: Mesh) -> FrameState:
 
 def render_frame_sharded(scene: Scene, env: Environment, cam: Camera,
                          state: FrameState, cfg: RenderConfig, mesh: Mesh,
-                         refreshing=False, exposure=1.0):
+                         refreshing=False, exposure=1.0,
+                         prev_cam: Optional[Camera] = None,
+                         layout: str = "contiguous"):
     """Progressive wavefront frame under ``shard_map``: per-device tile of
     the persistent ray state advances independently; pixels and new state
     come back sharded (gather only when displaying).
 
     Mirrors ``render_frame`` exactly — the counter RNG guarantees the pixels
-    equal the single-device render bit-for-bit (tested)."""
+    equal the single-device render bit-for-bit (tested). With
+    ``cfg.reprojection`` and ``prev_cam``, a refresh forward-warps the
+    accumulator into the new view (``ops/reproject.py``); the warp's
+    scatter-add crosses pixel tiles, so it runs as a plain ``jit`` over the
+    sharded arrays and GSPMD inserts the cross-device communication — the
+    idiomatic XLA answer for a once-per-refresh op (hand-rolled halo
+    exchange inside ``shard_map`` would buy nothing at frame rate).
+    ``refreshing`` must be a Python bool for that path (host-side camera
+    motion, as in the interactive app).
+
+    ``layout``: pixel-to-tile assignment (``tile_pixel_ids``). With
+    ``strided``, the state leaves live in (tile, slot) order — pixels come
+    back in that order too; invert with ``unshard_pixels`` (or
+    ``gather_image(layout=...)``) at display time."""
     n = cfg.num_pixels
     tiles, _ = _tile_counts(mesh)
     assert n % tiles == 0
+
+    if layout == "strided" and cfg.reprojection and prev_cam is not None:
+        raise NotImplementedError(
+            "reprojection warps image-order arrays; use layout='contiguous' "
+            "with cfg.reprojection (or permute the state first)")
+    if (cfg.reprojection and prev_cam is not None
+            and isinstance(refreshing, bool)):
+        if refreshing:
+            from ..ops import reproject as reprojectlib
+            warp = jax.jit(reprojectlib.reproject, static_argnums=3)
+            state = warp(state, prev_cam, cam, cfg)
+        refreshing = False  # the warp already re-armed the state
 
     state_spec = jax.tree.map(
         lambda x: P(TILE_AXIS, *([None] * (max(x.ndim, 1) - 1)))
@@ -118,8 +174,7 @@ def render_frame_sharded(scene: Scene, env: Environment, cam: Camera,
              out_specs=(P(TILE_AXIS, None), state_spec))
     def tile_frame(st: FrameState):
         ti = jax.lax.axis_index(TILE_AXIS)
-        pixel_id = (ti * (n // tiles)
-                    + jnp.arange(n // tiles, dtype=jnp.uint32))
+        pixel_id = tile_pixel_ids(ti, n, tiles, layout)
         return integ.render_frame_tile(
             scene, env, cam, st, cfg, pixel_id,
             refreshing=refreshing, exposure=exposure)
@@ -127,8 +182,9 @@ def render_frame_sharded(scene: Scene, env: Environment, cam: Camera,
     return tile_frame(state)
 
 
-def gather_image(pixels_flat: jax.Array, cfg: RenderConfig) -> jax.Array:
+def gather_image(pixels_flat: jax.Array, cfg: RenderConfig,
+                 tiles: int = 1, layout: str = "contiguous") -> jax.Array:
     """Assemble the (H, W, 3) image from the flat sharded framebuffer —
     the one cross-device data movement of the forward path."""
-    img = jax.device_get(pixels_flat)
+    img = jax.device_get(unshard_pixels(pixels_flat, tiles, layout))
     return img.reshape(cfg.width, cfg.height, 3).transpose(1, 0, 2)[::-1]
