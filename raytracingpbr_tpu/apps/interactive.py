@@ -143,6 +143,8 @@ class InteractiveSession:
 
 
 def main(argv=None):
+    from ..utils.platform import honor_jax_platforms
+    honor_jax_platforms()
     import argparse
 
     from ..models import demo

@@ -84,6 +84,8 @@ def render_animation(scene_fn, env: Environment, cam: Camera,
 
 
 def main(argv=None):
+    from ..utils.platform import honor_jax_platforms
+    honor_jax_platforms()
     from ..models import bunny, cornell, demo
 
     p = argparse.ArgumentParser(description=__doc__)

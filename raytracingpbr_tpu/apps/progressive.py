@@ -43,8 +43,14 @@ def _save_debug_views(state, cfg, out_dir):
 def run(scene, env, cam, cfg, out_dir: str, minutes: float = 1.0,
         save_every: int = 50, exposure: float = 1.0,
         metrics_path: str | None = None, debug_views: bool = False,
-        validate: bool = False) -> None:
+        validate: bool = False, serve: int | None = None) -> None:
     os.makedirs(out_dir, exist_ok=True)
+    server = None
+    if serve is not None:
+        # live preview endpoint (the reference's canvas.set_image,
+        # src/main.py:64, as HTTP — apps/preview.py)
+        from .preview import PreviewServer
+        server = PreviewServer(serve).start()
     ckpt_path = os.path.join(out_dir, "state.npz")
     if os.path.exists(ckpt_path):
         state, meta = ckpt.load(ckpt_path)
@@ -64,8 +70,12 @@ def run(scene, env, cam, cfg, out_dir: str, minutes: float = 1.0,
         jax.block_until_ready(pixels)
         dt = time.time() - t0
         f = int(state.frame)
-        log.frame_stats(np.asarray(pixels), np.asarray(state.accum), dt,
-                        frame=f)
+        stats = log.frame_stats(np.asarray(pixels), np.asarray(state.accum),
+                                dt, frame=f)
+        if server is not None:
+            img = np.asarray(pixels).reshape(
+                cfg.width, cfg.height, 3).transpose(1, 0, 2)[::-1]
+            server.update(img, **stats)
         if validate:
             from ..utils.validate import assert_state_finite
             assert_state_finite(state)
@@ -84,9 +94,13 @@ def run(scene, env, cam, cfg, out_dir: str, minutes: float = 1.0,
         if debug_views:
             _save_debug_views(state, cfg, out_dir)
     log.close()
+    if server is not None:
+        server.stop()
 
 
 def main(argv=None):
+    from ..utils.platform import honor_jax_platforms
+    honor_jax_platforms()
     from ..models import cornell, demo
 
     p = argparse.ArgumentParser(description=__doc__)
@@ -103,6 +117,10 @@ def main(argv=None):
                    help="also write the adaptive-noise map and ray-depth "
                         "heat map (the live app's commented-out channels, "
                         "src/main.py:65-66)")
+    p.add_argument("--serve", type=int, default=None, metavar="PORT",
+                   help="serve a live browser preview of the converging "
+                        "framebuffer on this port (/, /frame.png, /stream, "
+                        "/stats; 0 = pick a free port)")
     args = p.parse_args(argv)
 
     if args.scene == "demo":
@@ -118,7 +136,8 @@ def main(argv=None):
                                       cfg.height // args.scale))
     run(scene, env, cam, cfg, args.out, minutes=args.minutes,
         exposure=exposure, metrics_path=args.metrics,
-        validate=args.validate, debug_views=args.debug_views)
+        validate=args.validate, debug_views=args.debug_views,
+        serve=args.serve)
 
 
 if __name__ == "__main__":

@@ -92,8 +92,11 @@ def write_png(path: str, img: np.ndarray) -> None:
     _write_png_numpy(path, u8)
 
 
-def _write_png_numpy(path: str, u8: np.ndarray) -> None:
-    """Pure-python PNG writer (zlib stdlib) — fallback path."""
+def encode_png(img: np.ndarray, level: int = 1) -> bytes:
+    """In-memory PNG encode (the live-preview endpoint's frame format).
+
+    zlib level 1: the preview is latency-bound, not bandwidth-bound."""
+    u8 = _to_u8(img)
     h, w = u8.shape[:2]
     raw = b"".join(b"\x00" + u8[y].tobytes() for y in range(h))
 
@@ -102,11 +105,14 @@ def _write_png_numpy(path: str, u8: np.ndarray) -> None:
         return c + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, level)) + chunk(b"IEND", b""))
+
+
+def _write_png_numpy(path: str, u8: np.ndarray) -> None:
+    """Pure-python PNG writer (zlib stdlib) — fallback path."""
     with open(path, "wb") as f:
-        f.write(b"\x89PNG\r\n\x1a\n")
-        f.write(chunk(b"IHDR", ihdr))
-        f.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        f.write(chunk(b"IEND", b""))
+        f.write(encode_png(u8, level=6))
 
 
 def read_png(path: str) -> np.ndarray:

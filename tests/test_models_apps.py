@@ -147,3 +147,70 @@ class TestValidate:
         import os
         assert os.path.exists(tmp_path / "debug_noise.png")
         assert os.path.exists(tmp_path / "debug_depth.png")
+
+    def test_preview_server(self):
+        """Live preview endpoint (apps/preview.py — the reference's
+        canvas.set_image, src/main.py:64, over HTTP): page, frame, stats."""
+        import json
+        import urllib.request
+
+        import numpy as np
+        from raytracingpbr_tpu.apps.preview import PreviewServer
+
+        srv = PreviewServer(0, host="127.0.0.1").start()
+        try:
+            img = np.zeros((12, 16, 3), np.float32)
+            img[:, :, 0] = 1.0
+            srv.update(img, frame=7, mean_spp=3.5)
+            base = f"http://127.0.0.1:{srv.port}"
+            page = urllib.request.urlopen(base + "/", timeout=5).read()
+            assert b"<img" in page
+            r = urllib.request.urlopen(base + "/frame.png", timeout=5)
+            body = r.read()
+            assert r.headers["Content-Type"] == "image/png"
+            assert body.startswith(b"\x89PNG")
+            stats = json.loads(urllib.request.urlopen(
+                base + "/stats", timeout=5).read())
+            assert stats["frame"] == 7
+        finally:
+            srv.stop()
+
+    def test_encode_png_roundtrip(self, tmp_path):
+        import numpy as np
+        from raytracingpbr_tpu.io import image as imageio
+        rng = np.random.default_rng(3)
+        img = rng.random((9, 13, 3)).astype(np.float32)
+        data = imageio.encode_png(img)
+        p = tmp_path / "x.png"
+        p.write_bytes(data)
+        back = imageio.read_png(str(p))
+        np.testing.assert_array_equal(
+            back, (np.clip(img, 0, 1) * 255 + 0.5).astype(np.uint8))
+
+    def test_progressive_serve_smoke(self, tmp_path):
+        """--serve end-to-end: the daemon publishes frames while rendering."""
+        import urllib.request
+
+        from raytracingpbr_tpu.apps import progressive
+        from raytracingpbr_tpu.apps import preview as previewlib
+
+        captured = {}
+        orig_start = previewlib.PreviewServer.start
+
+        def capture_start(self):
+            out = orig_start(self)
+            captured["srv"] = self
+            return out
+        previewlib.PreviewServer.start = capture_start
+        try:
+            cfg = cornell.minimal_config().replace(resolution=(8, 8),
+                                                   max_raymarch=16)
+            progressive.run(cornell.minimal_scene(), rt.white_sky(),
+                            cornell.minimal_camera(), cfg, str(tmp_path),
+                            minutes=0.01, save_every=2, serve=0)
+            srv = captured["srv"]
+            # server was stopped at run() end; frame must have been published
+            assert srv._png is not None and srv._png.startswith(b"\x89PNG")
+            assert srv._stats.get("frame", 0) > 0
+        finally:
+            previewlib.PreviewServer.start = orig_start
