@@ -95,6 +95,14 @@ class RenderConfig:
 
     env_ior: float = 1.000277        # src/config.py:28
 
+    # Example-megakernel Fresnel F0 variant (applies only with the example
+    # shading, ray_surface_interaction(roughness_fresnel=True)): the
+    # cornell/bunny megakernels compute ``F0 = (eta-1)/(eta+1); F0 *= 2*F0``
+    # = 2a^2 (cornell_box.py:275, bunny_sdf_glass.py:322) — HALF the
+    # src/scene_demo/tokyo value ``(2a)^2`` (src/pbr.py:44-45,
+    # scene_demo/main.py:289). Set True in the cornell/bunny model configs.
+    f0_half: bool = False
+
     # March policy (defaults = src/ engine; see enums above for example modes)
     omega: float = 1.6
     omega_policy: OmegaPolicy = OmegaPolicy.ROLLBACK_TO_ONE

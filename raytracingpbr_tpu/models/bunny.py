@@ -55,6 +55,7 @@ def metal_config(scale: int = 1) -> RenderConfig:
         hit_criterion=HitCriterion.RELATIVE,
         march_t0=0.005,
         black_background=True,
+        f0_half=True,  # bunny_sdf.py:319 F0 variant (config.f0_half)
     )
 
 
@@ -71,6 +72,7 @@ def glass_config(scale: int = 1) -> RenderConfig:
         omega_policy=OmegaPolicy.CONSTANT,
         hit_criterion=HitCriterion.RELATIVE,
         march_t0=0.005,
+        f0_half=True,  # bunny_sdf_glass.py:322 F0 variant (config.f0_half)
     )
 
 

@@ -110,6 +110,7 @@ def full_config() -> RenderConfig:
         light_quality=128.0,
         tonemap=Tonemap.ACES_THEN_GAMMA,
         visibility=(1e-6, 1e32),
+        f0_half=True,  # cornell_box.py:275 F0 variant (config.f0_half)
     )
 
 

@@ -440,7 +440,8 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
                      diffuse_only: bool = False,
                      differentiable: bool = False,
                      roughness_fresnel: bool = True,
-                     restart_at_hit: bool = True) -> TraceResult:
+                     restart_at_hit: bool = True,
+                     reflect_kill: Optional[bool] = None) -> TraceResult:
     """Full bounce loop per sample (``cornell_box.py:296-319``): EXP
     russian roulette (``1 - 1/exp(i/light_quality)``), march, interaction,
     brightness termination; miss multiplies the sky color and stops.
@@ -453,7 +454,17 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
     (path-replay backward via the counter RNG — material/environment
     gradients at the reference's 128-512 bounce budgets in O(rays) memory;
     see ``ops/replay.py``).
+
+    ``reflect_kill`` (``None`` default): forward renders follow the example
+    megakernels and ZERO a below-surface reflection (``cornell_box.py:280``);
+    differentiable estimators fold it back above like the src/ engine
+    (``src/pbr.py:49-51``) — the kill factor is a step function of geometry,
+    so its AD gradient is 0 a.e. while FD straddles the jump, and an
+    optimizer gets no signal from killed paths. Pass an explicit bool to
+    override either way (e.g. exact forward parity inside a loss).
     """
+    if reflect_kill is None:
+        reflect_kill = roughness_fresnel and not differentiable
     if differentiable == "replay":
         if cfg.env_sampling:
             raise NotImplementedError(
@@ -464,7 +475,8 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
         color = trace_replay(scene, env, rays, pixel_id, sample_idx, cfg,
                              diffuse_only=diffuse_only,
                              roughness_fresnel=roughness_fresnel,
-                             restart_at_hit=restart_at_hit)
+                             restart_at_hit=restart_at_hit,
+                             reflect_kill=reflect_kill)
         return TraceResult(color, jnp.zeros_like(rays.depth))
 
     n = rays.depth.shape[0]
@@ -508,7 +520,8 @@ def megakernel_trace(scene: Scene, env: Environment, rays: Rays,
             inter = shadelib.ray_surface_interaction(
                 scene, res.index, res.position, direction, u4, cfg,
                 roughness_fresnel=roughness_fresnel,
-                restart_at_hit=restart_at_hit)
+                restart_at_hit=restart_at_hit,
+                reflect_kill=reflect_kill)
             new_dir, new_origin, color_scale = inter[:3]
             normal, diff_lobe = inter.normal, inter.diffuse
 
@@ -596,7 +609,8 @@ def render_image(scene: Scene, env: Environment, cam: Camera,
                  diffuse_only: bool = False, differentiable: bool = False,
                  tonemapped: bool = True,
                  roughness_fresnel: bool = True,
-                 restart_at_hit: bool = True) -> jax.Array:
+                 restart_at_hit: bool = True,
+                 reflect_kill: Optional[bool] = None) -> jax.Array:
     """Offline still: average ``spp`` megakernel samples per pixel and
     tonemap. The per-frame loop of ``bunny_sdf_glass.py:437-451`` /
     ``cornell_box.py:346-379`` as one pure function. Returns (H, W, 3)
@@ -616,7 +630,8 @@ def render_image(scene: Scene, env: Environment, cam: Camera,
                                diffuse_only=diffuse_only,
                                differentiable=differentiable,
                                roughness_fresnel=roughness_fresnel,
-                               restart_at_hit=restart_at_hit)
+                               restart_at_hit=restart_at_hit,
+                               reflect_kill=reflect_kill)
         return accum + out.color, None
 
     if differentiable:

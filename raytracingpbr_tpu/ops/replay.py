@@ -63,6 +63,7 @@ class _Static(NamedTuple):
     diffuse_only: bool
     roughness_fresnel: bool
     restart_at_hit: bool
+    reflect_kill: bool = False
 
 
 def _bounce_state(static: _Static, scene: Scene, env: Environment,
@@ -112,7 +113,8 @@ def _bounce_state(static: _Static, scene: Scene, env: Environment,
         inter = shadelib.ray_surface_interaction(
             scene, res.index, res.position, direction, u4, cfg,
             roughness_fresnel=static.roughness_fresnel,
-            restart_at_hit=static.restart_at_hit)
+            restart_at_hit=static.restart_at_hit,
+            reflect_kill=static.reflect_kill)
         new_dir, new_origin, color_scale = inter[:3]
 
     emission = scenelib.materials_at(scene, res.index).emission
@@ -280,10 +282,12 @@ def trace_replay(scene: Scene, env: Environment, rays: Rays,
                  pixel_id: jax.Array, sample_idx, cfg: RenderConfig,
                  diffuse_only: bool = False,
                  roughness_fresnel: bool = True,
-                 restart_at_hit: bool = True) -> jax.Array:
+                 restart_at_hit: bool = True,
+                 reflect_kill: bool = False) -> jax.Array:
     """Convenience wrapper matching ``megakernel_trace``'s signature subset.
     Returns the (N, 3) radiance with path-replay gradients."""
-    static = _Static(cfg, diffuse_only, roughness_fresnel, restart_at_hit)
+    static = _Static(cfg, diffuse_only, roughness_fresnel, restart_at_hit,
+                     reflect_kill)
     return replay_trace(static, scene, env, rays.origin, rays.direction,
                         rays.color, pixel_id,
                         jnp.asarray(sample_idx, jnp.uint32))

@@ -9,7 +9,7 @@ with ``jnp.where`` — branchless, divergence-free VPU code (SURVEY.md §7.1).
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -73,6 +73,8 @@ def diffuse_lobe_prob(scene: Scene, index: jax.Array, direction: jax.Array,
     k = 1.0 - eta * eta * (1.0 - no_i * no_i)
     f0 = 2.0 * (eta - 1.0) / (eta + 1.0)
     f0 = f0 * f0
+    if roughness_fresnel and cfg.f0_half:
+        f0 = 0.5 * f0  # example F0 variant — see ray_surface_interaction
     if roughness_fresnel:
         fr = fresnel_schlick_roughness(no_i, f0, roughness)
     else:
@@ -90,6 +92,7 @@ def ray_surface_interaction(
     cfg: RenderConfig,
     roughness_fresnel: bool = False,
     restart_at_hit: bool = False,
+    reflect_kill: Optional[bool] = None,
 ) -> Interaction:
     """Branchless port of ``ray_surface_interaction`` (``src/pbr.py:23-62``).
 
@@ -97,7 +100,25 @@ def ray_surface_interaction(
     (SURVEY.md §7.5); ``restart_at_hit`` uses the examples' restart policy
     (``origin = hit position``, ``cornell_box.py:287``) instead of the src/
     engine's normal offset (``src/pbr.py:60``).
+
+    ``reflect_kill``: what happens when the sampled reflection lands below
+    the true surface. The src/ engine folds it back above
+    (``src/pbr.py:49-51``); EVERY example megakernel instead zeroes the
+    throughput (``cornell_box.py:280`` ``ray.color *= float(dot(...) > 0)``)
+    — the path continues below the surface carrying no energy. ``None``
+    (default) follows the variant split: kill iff ``roughness_fresnel``.
+    NOTE the kill factor is a step function of geometry — differentiable
+    estimators should fold (``ops/integrator.megakernel_trace`` resolves
+    the default to fold whenever ``differentiable`` is set).
+
+    ``cfg.f0_half`` (applied only in the example variant): the cornell/bunny
+    megakernels compute ``F0 = (eta-1)/(eta+1); F0 *= 2*F0`` = 2a²
+    (``cornell_box.py:275``), HALF the src/scene_demo/tokyo value
+    ``(2a)²`` (``src/pbr.py:44-45``, ``scene_demo/main.py:289``) — on an
+    ior-1.53 wall the reflect probability is 8.8% vs 17.6%.
     """
+    if reflect_kill is None:
+        reflect_kill = roughness_fresnel
     mat = scenelib.materials_at(scene, index)
     albedo, roughness = mat.albedo, mat.roughness
     metallic, transmission, ior = mat.metallic, mat.transmission, mat.ior
@@ -122,6 +143,8 @@ def ray_surface_interaction(
     k = 1.0 - eta * eta * (1.0 - no_i * no_i)  # TIR when k < 0
     f0 = 2.0 * (eta - 1.0) / (eta + 1.0)
     f0 = f0 * f0
+    if roughness_fresnel and cfg.f0_half:
+        f0 = 0.5 * f0  # example F0 = 2a^2 (see docstring)
     if roughness_fresnel:
         fr = fresnel_schlick_roughness(no_i, f0, roughness)
     else:
@@ -129,9 +152,10 @@ def ray_surface_interaction(
 
     # --- all three lobe outcomes (branchless) ---
     refl = i - 2.0 * no_i[:, None] * rough_n
-    # src/pbr.py:49-51 folds the reflected ray back above the true surface
     refl_outer = dot(refl, normal) < 0.0
-    refl = jnp.where(refl_outer[:, None], -refl, refl)
+    if not reflect_kill:
+        # src/pbr.py:49-51 folds the reflected ray back above the surface
+        refl = jnp.where(refl_outer[:, None], -refl, refl)
 
     # TIR lanes never take the refract lobe, but sqrt(0)'s backward is inf
     # and 0-cotangent * inf = NaN poisons the whole VJP (visible only in the
@@ -146,6 +170,12 @@ def ray_surface_interaction(
     new_dir = jnp.where(
         take_reflect[:, None], refl,
         jnp.where(take_refract[:, None], refr, hemispheric))
+    color_scale = albedo
+    if reflect_kill:
+        # example megakernels: a below-surface reflection carries no energy
+        # (cornell_box.py:280) — multiply the throughput by the {0,1} factor
+        killed = take_reflect & refl_outer
+        color_scale = color_scale * (~killed).astype(albedo.dtype)[:, None]
 
     # Restart origin (src/pbr.py:58-60): offset along the true normal to
     # whichever side the new direction leaves on.
@@ -156,5 +186,5 @@ def ray_surface_interaction(
         offs = jnp.where(leave_outer, -cfg.min_dis, cfg.min_dis)
         new_origin = position + normal * offs[:, None]
 
-    return Interaction(new_dir, new_origin, albedo, normal,
+    return Interaction(new_dir, new_origin, color_scale, normal,
                        ~take_reflect & ~take_refract, outer)

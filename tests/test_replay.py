@@ -27,15 +27,21 @@ def setup(n=96, max_raytrace=16, seed=1):
     return scene, env, cam, cfg, pid, rays
 
 
-def test_replay_forward_bit_exact():
+@pytest.mark.parametrize("reflect_kill", [False, True])
+def test_replay_forward_bit_exact(reflect_kill):
     """The replay module's forward must equal megakernel_trace bit-for-bit
     (same RNG counters, same f32 arithmetic order) — the property the
-    backward replay's correctness rests on."""
+    backward replay's correctness rests on. Pinned reflect_kill: the
+    unpinned defaults deliberately differ (forward kills like the example
+    megakernels, differentiable estimators fold — megakernel_trace
+    docstring)."""
     scene, env, cam, cfg, pid, rays = setup()
     ref = integ.megakernel_trace(scene, env, rays, pid, 0, cfg,
-                                 differentiable=False)
+                                 differentiable=False,
+                                 reflect_kill=reflect_kill)
     got = integ.megakernel_trace(scene, env, rays, pid, 0, cfg,
-                                 differentiable="replay")
+                                 differentiable="replay",
+                                 reflect_kill=reflect_kill)
     np.testing.assert_array_equal(np.asarray(got.color),
                                   np.asarray(ref.color))
 

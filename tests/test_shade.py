@@ -100,3 +100,72 @@ def test_metallic_forces_reflection():
         dict(roughness=0.0, metallic=1.0, transmission=1.0, ior=1.5), d_in)
     out = np.array(inter.direction)
     assert (out[:, 2] > 0).all()  # never refracts through
+
+
+def test_reflect_kill_vs_fold():
+    """Example megakernels zero a below-surface reflection
+    (cornell_box.py:280); the src/ engine folds it back (src/pbr.py:49-51).
+    At roughness=1/metallic=1 every lane reflects about a random microfacet
+    normal, so ~half land below the surface."""
+    d_in = np.array([0.0, 0.0, -1.0])
+    mat = dict(roughness=1.0, metallic=1.0, transmission=0.0, ior=1.5)
+    scene = sc.make_scene([ObjectSpec(SHAPE.SPHERE, position=(0, 0, 0),
+                                      scale=(1, 1, 1), **mat)])
+    n = 4096
+    pos = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    d = jnp.tile(jnp.asarray(d_in)[None], (n, 1))
+    idx = jnp.zeros((n,), jnp.int32)
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    u = rnglib.uniform4(pid, 0, 2, 0)
+    kill = shade.ray_surface_interaction(scene, idx, pos, d, u, CFG,
+                                         reflect_kill=True)
+    fold = shade.ray_surface_interaction(scene, idx, pos, d, u, CFG,
+                                         reflect_kill=False)
+    killed = np.array(kill.color_scale)[:, 0] == 0.0
+    assert 0.2 < killed.mean() < 0.8  # a real fraction lands below
+    # killed lanes keep the below-surface direction (reference continues the
+    # ray); folded lanes are flipped above
+    below_k = np.array(kill.direction)[killed, 2] < 0
+    assert below_k.all()
+    assert (np.array(fold.direction)[:, 2] >= 0).all()
+    # unkilled lanes agree between the variants
+    np.testing.assert_allclose(np.array(kill.direction)[~killed],
+                               np.array(fold.direction)[~killed], atol=1e-6)
+    # default follows the variant: roughness_fresnel=True -> kill
+    dflt = shade.ray_surface_interaction(scene, idx, pos, d, u, CFG,
+                                         roughness_fresnel=True)
+    assert (np.array(dflt.color_scale)[:, 0] == 0.0).any()
+
+
+def test_f0_half_halves_reflect_probability():
+    """cfg.f0_half (cornell/bunny example F0 = 2a^2, cornell_box.py:275)
+    applies only in the example-variant Fresnel and halves the reflect
+    probability at roughness=1 (F = F0)."""
+    d_in = np.array([0.0, 0.0, -1.0])
+    mat = dict(roughness=1.0, metallic=0.0, transmission=0.0, ior=1.53)
+    n = 1 << 14
+    scene = sc.make_scene([ObjectSpec(SHAPE.SPHERE, position=(0, 0, 0),
+                                      scale=(1, 1, 1), **mat)])
+    pos = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (n, 1))
+    d = jnp.tile(jnp.asarray(d_in)[None], (n, 1))
+    idx = jnp.zeros((n,), jnp.int32)
+    pid = jnp.arange(n, dtype=jnp.uint32)
+    u = rnglib.uniform4(pid, 0, 2, 0)
+
+    def p_reflect(cfg):
+        inter = shade.ray_surface_interaction(scene, idx, pos, d, u, cfg,
+                                              roughness_fresnel=True)
+        # diffuse == (~reflect & ~refract); transmission=0 -> ~diffuse=reflect
+        return 1.0 - np.array(inter.diffuse).mean()
+
+    a = (1.53 - CFG.env_ior) / (1.53 + CFG.env_ior)
+    p_src = p_reflect(CFG)
+    p_half = p_reflect(CFG.replace(f0_half=True))
+    assert p_src == pytest.approx(4 * a * a, abs=0.01)     # (2a)^2
+    assert p_half == pytest.approx(2 * a * a, abs=0.01)    # 2a^2
+    # src-variant Fresnel ignores the flag
+    inter_src = shade.ray_surface_interaction(
+        scene, idx, pos, d, u, CFG.replace(f0_half=True))
+    inter_ref = shade.ray_surface_interaction(scene, idx, pos, d, u, CFG)
+    np.testing.assert_allclose(np.array(inter_src.direction),
+                               np.array(inter_ref.direction))
