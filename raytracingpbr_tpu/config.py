@@ -117,6 +117,18 @@ class RenderConfig:
     # post-convergence work inside a chunk is masked but not free.
     march_chunk: Optional[int] = None
 
+    # Compacted multi-phase march (pallas/march_kernel.march_phased): march
+    # everyone a small budget, repack the unconverged lanes into dense
+    # tiles, resume with doubled budgets carrying exact loop state.
+    # Bit-identical results; executed lane-iterations approach the per-lane
+    # algorithmic need instead of per-tile max (the <1% grazing-ray tail
+    # otherwise poisons nearly every tile — 14x measured waste on the
+    # mixed-state cornell wavefront, tools/probe_divergence.py). Applies to
+    # the Pallas backend only. march_phases overrides the auto budget split
+    # (must sum to max_raymarch).
+    march_compaction: bool = True
+    march_phases: Optional[Tuple[int, ...]] = None
+
     # Terminate miss lanes as soon as they are outside the scene's bounding
     # sphere and receding, instead of marching all the way to max_dis
     # (src/scene.py:82 bails only at MAX_DIS). Outside the bound of every

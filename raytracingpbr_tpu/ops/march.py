@@ -222,8 +222,9 @@ def march(scene: Scene, origin: jax.Array, direction: jax.Array,
     march work: a fully-inactive tile exits its loop immediately.
     """
     if _use_pallas(scene, backend):
-        from ..pallas.march_kernel import march_pallas
-        t, index, hit, lane_iters = march_pallas(
+        from ..pallas.march_kernel import march_pallas, march_phased
+        impl = march_phased if cfg.march_compaction else march_pallas
+        t, index, hit, lane_iters = impl(
             jax.lax.stop_gradient(scene),
             jax.lax.stop_gradient(origin),
             jax.lax.stop_gradient(direction), cfg,

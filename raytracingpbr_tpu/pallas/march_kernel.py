@@ -212,12 +212,15 @@ def resolve_chunk(cfg: RenderConfig) -> int:
 
 def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
                   box_round: float, has_bunny: bool, has_active: bool,
-                  rot_perm: Tuple = None, has_bound: bool = False):
+                  rot_perm: Tuple = None, has_bound: bool = False,
+                  has_init: bool = False):
     refs = list(refs)
     bunny_ref = refs.pop(0) if has_bunny else None
     act_ref = refs.pop(0) if has_active else None
+    init_refs = [refs.pop(0) for _ in range(4)] if has_init else None
     (ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
-     t_ref, idx_ref, hit_ref, iters_ref) = refs
+     t_ref, idx_ref, hit_ref, iters_ref,
+     wout_ref, sout_ref, dout_ref, done_ref) = refs
     ox, oy, oz = ox_ref[:], oy_ref[:], oz_ref[:]
     dx, dy, dz = dx_ref[:], dy_ref[:], dz_ref[:]
 
@@ -308,12 +311,19 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
     done0 = ((1 - act_ref[:]) if has_active
              else jnp.zeros(shape, jnp.int32))
     fin0 = done0 * 0 + (1 - done0) * jnp.int32(cfg.max_raymarch)
+    if has_init:
+        # phase resumption (march_phased): carry the loop state of a prior
+        # budget-limited run — per lane, the iteration sequence is identical
+        # to one uninterrupted march
+        t0v, w0v, s0v, d0v = (r[:] for r in init_refs)
+    else:
+        t0v, w0v, s0v, d0v = f(cfg.march_t0), f(w0), f(0.0), f(1e3)
     st = jax.lax.while_loop(cond, chunk_body, (
         jnp.zeros((), jnp.int32),
-        f(cfg.march_t0),
-        f(w0),
-        f(0.0),
-        f(1e3),
+        t0v,
+        w0v,
+        s0v,
+        d0v,
         jnp.zeros(shape, jnp.int32),
         jnp.zeros(shape, jnp.int32),
         done0,
@@ -324,6 +334,10 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
     idx_ref[:] = idx
     hit_ref[:] = hit
     iters_ref[:] = fin
+    wout_ref[:] = w
+    sout_ref[:] = s
+    dout_ref[:] = d
+    done_ref[:] = done
 
 
 def _pad_to_tile(x: jax.Array) -> Tuple[jax.Array, int]:
@@ -338,7 +352,7 @@ def _pad_to_tile(x: jax.Array) -> Tuple[jax.Array, int]:
                                              "cfg", "rot_perm", "has_bound"))
 def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
                        box_round, cfg: RenderConfig, rot_perm=None,
-                       has_bound=False):
+                       has_bound=False, init=None):
     o_pad, n = _pad_to_tile(origin)
     d_pad, _ = _pad_to_tile(direction)
     num = o_pad.shape[0]
@@ -353,10 +367,12 @@ def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
 
     has_bunny = bunny is not None
     has_active = active is not None
+    has_init = init is not None
     kernel = functools.partial(_march_kernel, scene_types=scene_types,
                                cfg=cfg, box_round=box_round,
                                has_bunny=has_bunny, has_active=has_active,
-                               rot_perm=rot_perm, has_bound=has_bound)
+                               rot_perm=rot_perm, has_bound=has_bound,
+                               has_init=has_init)
 
     tile_spec = pl.BlockSpec((1, TILE_ROWS, TILE_COLS),
                              lambda i: (i, 0, 0),
@@ -368,25 +384,25 @@ def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
         # pad lanes are inactive (padding rays must not march)
         a_pad, _ = _pad_to_tile(active.astype(jnp.int32))
         act = [a_pad.reshape(shape3)]
-    t, idx, hit, iters = pl.pallas_call(
+    init_tiles = []
+    if has_init:
+        for v in init:  # (t, w, s, d) resumed loop state, (n,) f32 each
+            v_pad, _ = _pad_to_tile(v)
+            init_tiles.append(v_pad.reshape(shape3))
+    f32 = jnp.float32
+    i32 = jnp.int32
+    outs = pl.pallas_call(
         kernel,
         grid=(tiles,),
         in_specs=([full_spec] * (1 + len(extra))
-                  + [tile_spec] * (len(act) + 6)),
-        out_specs=[tile_spec] * 4,
-        out_shape=[
-            jax.ShapeDtypeStruct(shape3, jnp.float32),
-            jax.ShapeDtypeStruct(shape3, jnp.int32),
-            jax.ShapeDtypeStruct(shape3, jnp.int32),
-            jax.ShapeDtypeStruct(shape3, jnp.int32),
-        ],
-    )(params, *extra, *act, ox, oy, oz, dx, dy, dz)
+                  + [tile_spec] * (len(act) + len(init_tiles) + 6)),
+        out_specs=[tile_spec] * 8,
+        out_shape=[jax.ShapeDtypeStruct(shape3, dt)
+                   for dt in (f32, i32, i32, i32, f32, f32, f32, i32)],
+    )(params, *extra, *act, *init_tiles, ox, oy, oz, dx, dy, dz)
 
-    t = t.reshape(num)[:n]
-    idx = idx.reshape(num)[:n]
-    hit = hit.reshape(num)[:n].astype(bool)
-    lane_iters = iters.reshape(num)[:n]
-    return t, idx, hit, lane_iters
+    t, idx, hit, iters, w, s, d, done = (v.reshape(num)[:n] for v in outs)
+    return t, idx, hit.astype(bool), iters, w, s, d, done
 
 
 def march_pallas(scene: Scene, origin: jax.Array, direction: jax.Array,
@@ -406,4 +422,125 @@ def march_pallas(scene: Scene, origin: jax.Array, direction: jax.Array,
                               tuple(scene.shape_types),
                               float(scene.box_round), cfg,
                               rot_perm=tuple(scene.rot_perm),
-                              has_bound=has_bound)
+                              has_bound=has_bound)[:4]
+
+
+def resolve_phases(cfg: RenderConfig) -> Tuple[int, ...]:
+    """Budget split for the phased (compacted) march.
+
+    ``cfg.march_phases`` wins when set (must sum to ``max_raymarch``).
+    Auto: a short budget runs in one phase; otherwise 32, 32, then doubling
+    (512 -> 32+32+64+128+256; 2048 -> ... +512+1024), each capped by the
+    remaining budget. Informed by tools/probe_divergence.py on cornell
+    full-PBR: lane need p50=16, p99=69, max=512 — almost every lane
+    converges in the first phase or two, and the sub-1% tail that poisons
+    every (8,128) tile of a single-shot march gets repacked into a handful
+    of tiles."""
+    if cfg.march_phases is not None:
+        ps = tuple(int(b) for b in cfg.march_phases)
+        if sum(ps) != cfg.max_raymarch or any(b <= 0 for b in ps):
+            raise ValueError(
+                f"march_phases={cfg.march_phases} must be positive and sum "
+                f"to max_raymarch={cfg.max_raymarch}")
+        return ps
+    m = cfg.max_raymarch
+    if m <= 64:
+        return (m,)
+    phases, nxt = [], 32
+    while sum(phases) < m:
+        b = min(nxt, m - sum(phases))
+        phases.append(b)
+        if len(phases) >= 2:
+            nxt *= 2
+    return tuple(phases)
+
+
+def _partition_active(done: jax.Array) -> jax.Array:
+    """Stable permutation putting not-done lanes first.
+
+    ``done`` is (N,) int32 0/1; returns ``perm`` with ``perm[new] = old``
+    (gather semantics). Cumsum-based counting partition — O(N), no sort."""
+    n = done.shape[0]
+    act = 1 - done
+    n_act = jnp.sum(act)
+    pos = jnp.where(act == 1,
+                    jnp.cumsum(act) - 1,
+                    n_act + jnp.cumsum(done) - 1)
+    return jnp.zeros((n,), jnp.int32).at[pos].set(
+        jnp.arange(n, dtype=jnp.int32))
+
+
+def march_phased(scene: Scene, origin: jax.Array, direction: jax.Array,
+                 cfg: RenderConfig, active=None):
+    """Compacted multi-phase march: same results as :func:`march_pallas`,
+    far less executed work on divergent batches.
+
+    Single-shot marching pays per-tile max iterations: on the mixed-state
+    cornell wavefront the <1% grazing-ray tail (up to ``max_raymarch``
+    iterations) lands in nearly every (8,128) tile, so the batch executes
+    ~14x the algorithmically needed lane-iterations
+    (tools/probe_divergence.py: 55.6M executed / 3.85M needed). This
+    wrapper marches everyone a small budget, then repeatedly REPACKS the
+    unconverged lanes to the front (stable counting partition — converged
+    tiles exit after one convergence check) and resumes them with doubled
+    budgets, carrying the exact loop state (t, w, s, d) — per lane the
+    iteration sequence is identical to one uninterrupted march, so results
+    are bit-equal to ``march_pallas`` while executed work approaches the
+    per-lane need. The GPU analog is persistent-threads ray compaction /
+    "Shader Execution Reordering"; here it is a host-free XLA
+    gather/scatter between pallas_call phases.
+    """
+    phases = resolve_phases(cfg)
+    if len(phases) == 1:
+        return march_pallas(scene, origin, direction, cfg, active=active)
+
+    has_bound = cfg.escape_bound and SHAPE.PLANE not in scene.shape_types
+    params = pack_scene(scene, escape_bound=has_bound)
+    bunny = pack_bunny(scene) if scene.bunny is not None else None
+    stypes = tuple(scene.shape_types)
+    br = float(scene.box_round)
+    rp = tuple(scene.rot_perm)
+
+    o_pad, n = _pad_to_tile(origin)
+    d_pad, _ = _pad_to_tile(direction)
+    num = o_pad.shape[0]
+    f32 = o_pad.dtype
+
+    if active is None:
+        done = jnp.zeros((num,), jnp.int32).at[n:].set(1)
+    else:
+        a_pad, _ = _pad_to_tile(active.astype(jnp.int32))
+        done = 1 - a_pad  # pad lanes arrive as 0 -> done
+    order = jnp.arange(num, dtype=jnp.int32)  # lane position -> ray id
+    t = jnp.full((num,), cfg.march_t0, f32)
+    w = jnp.full((num,), cfg.omega, f32)
+    s = jnp.zeros((num,), f32)
+    d = jnp.full((num,), 1e3, f32)
+    idx = jnp.zeros((num,), jnp.int32)
+    hit = jnp.zeros((num,), bool)
+    fin = jnp.zeros((num,), jnp.int32)
+
+    for k, budget in enumerate(phases):
+        if k > 0:
+            perm = _partition_active(done)
+            order, t, w, s, d, idx, hit, fin, done = (
+                v[perm] for v in (order, t, w, s, d, idx, hit, fin, done))
+        o_cur = o_pad[order]
+        d_cur = d_pad[order]
+        was_active = done == 0
+        t, idx_p, hit_p, fin_p, w, s, d, done = _march_pallas_impl(
+            params, bunny, o_cur, d_cur, was_active, stypes, br,
+            cfg.replace(max_raymarch=budget), rot_perm=rp,
+            has_bound=has_bound, init=(t, w, s, d) if k > 0 else None)
+        # done-at-entry lanes keep their previous result (the kernel writes
+        # zeros for them); the budget-capped fin of still-marching lanes
+        # accumulates into the total need
+        idx = jnp.where(was_active, idx_p, idx)
+        hit = jnp.where(was_active, hit_p, hit)
+        fin = fin + fin_p
+
+    inv_t = jnp.zeros((num,), f32).at[order].set(t)
+    inv_idx = jnp.zeros((num,), jnp.int32).at[order].set(idx)
+    inv_hit = jnp.zeros((num,), bool).at[order].set(hit)
+    inv_fin = jnp.zeros((num,), jnp.int32).at[order].set(fin)
+    return inv_t[:n], inv_idx[:n], inv_hit[:n], inv_fin[:n]

@@ -146,26 +146,67 @@ def measure_vpu_peak() -> float:
     return max(_measure_fma_config(*c) for c in configs)
 
 
+def phased_executed(fin, phases, chunk: int) -> int:
+    """Executed lane-iterations of the compacted multi-phase schedule.
+
+    Replays ``march_phased``'s stable-partition bookkeeping on the measured
+    per-lane needs: each phase packs still-unconverged lanes to the front
+    (original order preserved), tiles them, and every tile executes
+    ``min(ceil(tile-max remaining / chunk) * chunk, budget)`` iterations
+    over TILE lanes.
+    """
+    import numpy as np
+
+    from ..pallas.march_kernel import TILE
+
+    need = np.asarray(fin, np.int64)
+    pad = (-need.shape[0]) % TILE
+    if pad:
+        need = np.concatenate([need, np.zeros(pad, np.int64)])
+    done = need <= 0  # gated lanes never enter
+    start = np.zeros_like(need)
+    executed = 0
+    for b in phases:
+        # stable partition: unconverged lanes packed to the front in their
+        # original order (exactly march_phased's counting partition)
+        rem = np.where(~done, need - start, 0)
+        rem = rem[rem > 0]
+        if rem.size == 0:
+            break
+        rem = np.concatenate([rem, np.zeros((-rem.size) % TILE, np.int64)])
+        tile_max = rem.reshape(-1, TILE).max(axis=1)
+        trips = np.minimum(-(-np.minimum(tile_max, b) // chunk) * chunk, b)
+        executed += int(trips.sum()) * TILE
+        start = np.minimum(start + b, need)
+        done = done | (start >= need)
+    return executed
+
+
 def march_utilization(scene: Scene, origin, direction, cfg: RenderConfig,
                       active=None, reps: int = 10) -> dict:
-    """Run the Pallas march and report its %-of-VPU-roof utilization.
+    """Run the production Pallas march (compacted multi-phase when
+    ``cfg.march_compaction``) and report its %-of-VPU-roof utilization.
 
     Two utilization numbers come out of the per-lane convergence counts:
 
     * ``utilization_pct`` — executed work vs the roof. Executed iterations
-      per tile = ceil(max lane need / chunk) * chunk (lanes march in
-      lock-step, the convergence check runs once per chunk).
+      follow the actual schedule: per tile ``ceil(max lane need / chunk) *
+      chunk`` for the single-shot kernel, the per-phase repacked equivalent
+      (:func:`phased_executed`) for the compacted march.
     * ``useful_pct`` — algorithmically NEEDED work vs the roof (each lane
       counted only until its own convergence). The gap between the two is
-      the intra-tile divergence + chunk-rounding tax; it bounds what ray
+      the divergence + chunk-rounding tax; it bounds what further ray
       reordering ("Shader Execution Reordering", the reference's own ToDo at
       src/pathtracer.py:98) could recover.
     """
     import numpy as np
 
-    from ..pallas.march_kernel import TILE, march_pallas, resolve_chunk
+    from ..pallas.march_kernel import (TILE, march_pallas, march_phased,
+                                       resolve_chunk, resolve_phases)
 
-    f = jax.jit(lambda o, d: march_pallas(scene, o, d, cfg, active=active))
+    phased = cfg.march_compaction and len(resolve_phases(cfg)) > 1
+    impl = march_phased if phased else march_pallas
+    f = jax.jit(lambda o, d: impl(scene, o, d, cfg, active=active))
     t, idx, hit, lane_iters = f(origin, direction)
     jax.block_until_ready(t)
     t0 = time.perf_counter()
@@ -178,10 +219,14 @@ def march_utilization(scene: Scene, origin, direction, cfg: RenderConfig,
     pad = (-fin.shape[0]) % TILE
     if pad:
         fin = np.concatenate([fin, np.zeros(pad, np.int64)])
-    per_tile_max = fin.reshape(-1, TILE).max(axis=1)
     chunk = resolve_chunk(cfg)
-    trips = np.minimum(-(-per_tile_max // chunk) * chunk, cfg.max_raymarch)
-    executed = int(trips.sum()) * TILE
+    if phased:
+        executed = phased_executed(fin, resolve_phases(cfg), chunk)
+    else:
+        per_tile_max = fin.reshape(-1, TILE).max(axis=1)
+        trips = np.minimum(-(-per_tile_max // chunk) * chunk,
+                           cfg.max_raymarch)
+        executed = int(trips.sum()) * TILE
     needed = int(fin.sum())
 
     fpi = march_flops_per_iter(scene, cfg)

@@ -116,3 +116,52 @@ def test_pallas_march_active_gate():
     np.testing.assert_array_equal(np.array(t)[a], np.array(full[0])[a])
     assert not np.array(hit)[~a].any()
     np.testing.assert_allclose(np.array(t)[~a], cfg.march_t0)
+
+
+@pytest.mark.parametrize("use_active", [False, True])
+@pytest.mark.parametrize("family", ["minimal", "engine"])
+def test_phased_march_bit_equal(use_active, family):
+    """march_phased (compacted multi-phase) must return exactly what the
+    single-shot kernel returns — same t/idx/hit AND the same per-lane
+    convergence counts (the phase split carries exact loop state; the
+    engine family exercises the w=1.6 rollback + CONE criterion whose
+    w/s/d state must survive the phase boundary)."""
+    if family == "minimal":
+        scene = cornell.minimal_scene()
+        cfg = cornell.minimal_config().replace(max_raymarch=256)
+    else:
+        scene = demo.engine_scene()
+        cfg = demo.engine_config().replace(max_raymarch=128)
+    assert len(mk.resolve_phases(cfg)) > 1
+    o, d = rays_for(cfg, n=777)  # non-multiple-of-TILE exercises padding
+    active = None
+    if use_active:
+        active = jnp.asarray(np.random.default_rng(1)
+                             .random(777) < 0.7)
+    t1, i1, h1, f1 = mk.march_pallas(scene, o, d, cfg, active=active)
+    t2, i2, h2, f2 = mk.march_phased(scene, o, d, cfg, active=active)
+    np.testing.assert_array_equal(np.array(h2), np.array(h1))
+    np.testing.assert_array_equal(np.array(i2), np.array(i1))
+    np.testing.assert_array_equal(np.array(t2), np.array(t1))
+    np.testing.assert_array_equal(np.array(f2), np.array(f1))
+
+
+def test_resolve_phases():
+    base = cornell.minimal_config()
+    assert mk.resolve_phases(base.replace(max_raymarch=64)) == (64,)
+    assert mk.resolve_phases(base.replace(max_raymarch=512)) == \
+        (32, 32, 64, 128, 256)
+    assert mk.resolve_phases(base.replace(max_raymarch=2048)) == \
+        (32, 32, 64, 128, 256, 512, 1024)
+    assert mk.resolve_phases(base.replace(max_raymarch=100)) == (32, 32, 36)
+    assert mk.resolve_phases(
+        base.replace(max_raymarch=512, march_phases=(256, 256))) == (256, 256)
+    with pytest.raises(ValueError):
+        mk.resolve_phases(base.replace(max_raymarch=512,
+                                       march_phases=(256, 128)))
+
+
+def test_partition_active_stable():
+    done = jnp.asarray([1, 0, 1, 0, 0, 1, 0], jnp.int32)
+    perm = np.array(mk._partition_active(done))
+    np.testing.assert_array_equal(perm, [1, 3, 4, 6, 0, 2, 5])
