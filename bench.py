@@ -107,7 +107,8 @@ def bench_megakernel():
     return msps
 
 
-def bench_fwd_bwd(max_raytrace=8, differentiable=True, label="8 bounces"):
+def bench_fwd_bwd(max_raytrace=8, differentiable=True, label="8 bounces",
+                  env_sampling=False):
     from raytracingpbr_tpu.models import cornell
     from raytracingpbr_tpu.parallel import train as ptrain
 
@@ -115,6 +116,16 @@ def bench_fwd_bwd(max_raytrace=8, differentiable=True, label="8 bounces"):
     cfg = cornell.full_config().replace(max_raytrace=max_raytrace)
     cam = cornell.full_camera()
     env = cornell.sky()
+    if env_sampling:
+        # variance-reduced estimator: NEE + specular MIS against a small
+        # synthetic HDR sky (cornell's own sky is black — no table to bake)
+        import raytracingpbr_tpu as rt
+        from raytracingpbr_tpu.ops import ibl as ibllib
+        img = np.full((64, 32, 3), 0.05, np.float32)
+        img[40:44, 24:28] = 25.0
+        env = ibllib.with_env_sampler(
+            rt.hdr_environment(jnp.asarray(img), prebake=False))
+        cfg = cfg.replace(env_sampling=True)
     n = cfg.num_pixels
     pid = jnp.arange(n, dtype=jnp.uint32)
     target = jnp.zeros((n, 3))
@@ -194,6 +205,15 @@ def main():
                           label="128 bounces, path replay"), 4)
     except Exception as e:  # pragma: no cover
         log(f"fwd+bwd replay bench failed: {e!r}")
+    try:
+        # replay + NEE/specular-MIS (VERDICT r3 item 6): the variance-
+        # reduced estimator and the deep-bounce gradient path together
+        extras["fwd_bwd_msps_128bounce_replay_nee"] = round(
+            bench_fwd_bwd(max_raytrace=128, differentiable="replay",
+                          env_sampling=True,
+                          label="128 bounces, replay + NEE"), 4)
+    except Exception as e:  # pragma: no cover
+        log(f"fwd+bwd replay+NEE bench failed: {e!r}")
     try:
         stats = bench_utilization()
         extras["march_utilization_pct"] = round(stats["utilization_pct"], 1)

@@ -1,0 +1,18 @@
+import os
+os.environ["XLA_FLAGS"]="--xla_force_host_platform_device_count=1"
+import jax; jax.config.update("jax_platforms","cpu")
+import jax.numpy as jnp, numpy as np
+from raytracingpbr_tpu.ops import ibl as ibllib
+from raytracingpbr_tpu.ops import integrator as integ
+from tests.test_nee import sun_env, sun_scene, CAM, base_cfg
+env = sun_env(); env_s = ibllib.with_env_sampler(env)
+scene = sun_scene()
+kw = dict(roughness_fresnel=False, restart_at_hit=False, tonemapped=False, spp=256)
+for mb in (2, 3, 8, 32):
+    cfg = base_cfg(max_raytrace=mb)
+    oa = []; ma = []
+    for s in range(3):
+        off = np.asarray(integ.render_image(scene, env, CAM, cfg.replace(seed=s), **kw))
+        on = np.asarray(integ.render_image(scene, env_s, CAM, cfg.replace(env_sampling=True, seed=s), **kw))
+        oa.append(off.mean()); ma.append(on.mean())
+    print(f"max_raytrace {mb}: off {np.mean(oa):.4f} mis {np.mean(ma):.4f} ratio {np.mean(ma)/np.mean(oa):.3f}")

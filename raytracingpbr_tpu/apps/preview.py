@@ -47,7 +47,9 @@ setInterval(()=>{img.src='/frame.png?t='+Date.now();
 class PreviewServer:
     """Threaded HTTP preview; start() returns immediately."""
 
-    def __init__(self, port: int, host: str = "0.0.0.0"):
+    # Loopback by default: the endpoints are unauthenticated — binding all
+    # interfaces must be an explicit choice (--serve-host; ADVICE r3).
+    def __init__(self, port: int, host: str = "127.0.0.1"):
         self.port = port
         self.host = host
         self._lock = threading.Condition()

@@ -43,14 +43,15 @@ def _save_debug_views(state, cfg, out_dir):
 def run(scene, env, cam, cfg, out_dir: str, minutes: float = 1.0,
         save_every: int = 50, exposure: float = 1.0,
         metrics_path: str | None = None, debug_views: bool = False,
-        validate: bool = False, serve: int | None = None) -> None:
+        validate: bool = False, serve: int | None = None,
+        serve_host: str = "127.0.0.1") -> None:
     os.makedirs(out_dir, exist_ok=True)
     server = None
     if serve is not None:
         # live preview endpoint (the reference's canvas.set_image,
         # src/main.py:64, as HTTP — apps/preview.py)
         from .preview import PreviewServer
-        server = PreviewServer(serve).start()
+        server = PreviewServer(serve, host=serve_host).start()
     ckpt_path = os.path.join(out_dir, "state.npz")
     if os.path.exists(ckpt_path):
         state, meta = ckpt.load(ckpt_path)
@@ -121,6 +122,10 @@ def main(argv=None):
                    help="serve a live browser preview of the converging "
                         "framebuffer on this port (/, /frame.png, /stream, "
                         "/stats; 0 = pick a free port)")
+    p.add_argument("--serve-host", default="127.0.0.1", metavar="HOST",
+                   help="preview bind address (loopback by default; the "
+                        "endpoints are unauthenticated — pass 0.0.0.0 "
+                        "explicitly to expose them)")
     args = p.parse_args(argv)
 
     if args.scene == "demo":
@@ -137,7 +142,7 @@ def main(argv=None):
     run(scene, env, cam, cfg, args.out, minutes=args.minutes,
         exposure=exposure, metrics_path=args.metrics,
         validate=args.validate, debug_views=args.debug_views,
-        serve=args.serve)
+        serve=args.serve, serve_host=args.serve_host)
 
 
 if __name__ == "__main__":

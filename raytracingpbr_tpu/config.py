@@ -126,7 +126,14 @@ class RenderConfig:
     # mixed-state cornell wavefront, tools/probe_divergence.py). Applies to
     # the Pallas backend only. march_phases overrides the auto budget split
     # (must sum to max_raymarch).
-    march_compaction: bool = True
+    #
+    # DEFAULT OFF: measured on TPU v5e (tools/probe_phased.py, round 4) the
+    # phased path's per-phase full-batch gathers + 5 pallas_call launches
+    # cost far more than the divergence they reclaim — primary march
+    # ~195 ms phased vs ~3.7 ms single-shot (53x), cornell wavefront 0.43 vs
+    # 10.4 Msamples/s. Do not default True again without a recorded
+    # probe_phased.py run on hardware showing it wins.
+    march_compaction: bool = False
     march_phases: Optional[Tuple[int, ...]] = None
 
     # Terminate miss lanes as soon as they are outside the scene's bounding
@@ -151,6 +158,31 @@ class RenderConfig:
     # double counting — ops/integrator._nee_env). Specular/refracted
     # continuations keep the plain lookup. Off for parity oracles.
     env_sampling: bool = False
+
+    # One-sample balance-heuristic MIS between the env draw and the BSDF
+    # draw for the REFLECT lobe (active only under env_sampling; no
+    # reference analog). The NEE bank gains a term
+    # ``albedo * L * V * P_refl * p_spec / (p_env + P_refl * p_spec)``
+    # (one-sample balance heuristic with the 1/p_env cancelled) and a
+    # reflect-sampled continuation's sky lookup is weighted by the
+    # complementary ``P_refl * p_spec / (p_env + P_refl * p_spec)`` instead
+    # of staying unweighted — so glossy surfaces under sparse bright skies
+    # converge at env-sampling rates too (the diffuse lobe keeps its exact
+    # partition; refracted continuations keep the plain lookup).
+    # ``shade.specular_env_density`` inverts the hemispheric->rough-normal->
+    # reflect map for the density; MIS weights are stop_gradient'ed (they
+    # sum to 1 pointwise, so their derivative terms cancel in expectation —
+    # keeps scan-AD and path-replay gradients identical).
+    mis_specular: bool = True
+
+    # Path-replay backward (ops/replay.py): checkpoint the forward's march
+    # results — (t, hit-index) per bounce, plus the NEE visibility bit under
+    # env_sampling — so the backward replay skips re-marching entirely (the
+    # march dominates bounce cost; the rest of a bounce is ~4 SDF evals for
+    # the normal plus gathers). Memory: ~(8 + env_sampling) bytes *
+    # max_raytrace * rays, e.g. 236 MB for the 480x480 cornell at 128
+    # bounces. None (default) = auto: on when the buffers fit in 1 GiB.
+    replay_march_checkpoint: Optional[bool] = None
 
     roulette: Roulette = Roulette.DEPTH_LINEAR
     light_quality: float = 128.0     # EXP-roulette divisor; cornell_box.py:31

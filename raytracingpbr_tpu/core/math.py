@@ -71,7 +71,11 @@ def rotate_euler(angles: jax.Array) -> jax.Array:
         jnp.stack([zero, cx, sx], -1),
         jnp.stack([zero, -sx, cx], -1),
     ], -2)
-    return rz @ ry @ rx
+    # full-precision 3x3 composition (TPU DEFAULT matmul precision is bf16
+    # — 0.4% error in a rotation matrix shears every object; see
+    # ops/sdf.to_object_space)
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.matmul(jnp.matmul(rz, ry, precision=hi), rx, precision=hi)
 
 
 def sample_spherical_map(v: jax.Array) -> jax.Array:

@@ -114,10 +114,12 @@ class FrameState:
     # reprojection warps the accumulator with (ops/reproject.py — the
     # reference's own ToDo, src/renderer.py:22).
     hit_t: jax.Array       # (N,) f32
-    # With cfg.env_sampling: the path's last completed bounce sampled the
-    # diffuse lobe, so its sky lookup this segment is zeroed (that radiance
-    # was banked by NEE at the previous vertex — ops/integrator._nee_env).
-    nee_flag: jax.Array    # (N,) bool
+    # With cfg.env_sampling: MIS/partition weight applied to the path's sky
+    # lookup this segment (1 = plain lookup). 0 after a diffuse bounce
+    # (that radiance was banked exactly by NEE at the previous vertex —
+    # ops/integrator._nee_env); the balance-heuristic complement after a
+    # reflect bounce under cfg.mis_specular; 1 otherwise.
+    sky_w: jax.Array       # (N,) f32
 
 
 def make_frame_state(n: int, dtype=jnp.float32) -> FrameState:
@@ -131,7 +133,7 @@ def make_frame_state(n: int, dtype=jnp.float32) -> FrameState:
         pixels=jnp.zeros((n, 3), dtype),
         respawn=jnp.zeros((n,), jnp.uint32),
         hit_t=jnp.full((n,), NO_HIT_T, dtype),
-        nee_flag=jnp.zeros((n,), bool),
+        sky_w=jnp.ones((n,), dtype),
     )
 
 
@@ -150,5 +152,5 @@ def refresh(state: FrameState) -> FrameState:
         noise=jnp.full_like(state.noise, 1e32),
         respawn=jnp.zeros_like(state.respawn),
         hit_t=jnp.full_like(state.hit_t, NO_HIT_T),
-        nee_flag=jnp.zeros_like(state.nee_flag),
+        sky_w=jnp.ones_like(state.sky_w),
     )

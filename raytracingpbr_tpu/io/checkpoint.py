@@ -37,7 +37,7 @@ def save(path: str, state: FrameState, meta: Optional[dict] = None) -> None:
         "pixels": state.pixels,
         "respawn": state.respawn,
         "hit_t": state.hit_t,
-        "nee_flag": state.nee_flag,
+        "sky_w": state.sky_w,
     }
     host = {k: np.asarray(jax.device_get(v)) for k, v in leaves.items()}
     host["_meta"] = np.frombuffer(
@@ -68,7 +68,11 @@ def load(path: str) -> Tuple[FrameState, dict]:
                      np.zeros(z["noise"].shape, np.uint32)),
             hit_t=(z["hit_t"] if "hit_t" in z else
                    np.full(z["noise"].shape, 1e10, np.float32)),
-            nee_flag=(z["nee_flag"] if "nee_flag" in z else
-                      np.zeros(z["noise"].shape, bool)))
+            # sky weight (f32; older checkpoints stored the boolean
+            # "previous bounce was diffuse" flag — weight = 1 - flag)
+            sky_w=(z["sky_w"] if "sky_w" in z else
+                   (1.0 - z["nee_flag"].astype(np.float32))
+                   if "nee_flag" in z else
+                   np.ones(z["noise"].shape, np.float32)))
         meta = json.loads(bytes(z["_meta"]).decode()) if "_meta" in z else {}
     return jax.tree.map(lambda x: np.asarray(x), state), meta

@@ -42,9 +42,12 @@ def aces_fitted(rgb: jax.Array) -> jax.Array:
     """Fitted ACES RRT+ODT; ``src/aces.py:26-30`` (rgb (..., 3))."""
     m_in = ACES_INPUT.astype(rgb.dtype)
     m_out = ACES_OUTPUT.astype(rgb.dtype)
-    v = rgb @ m_in.T
+    # full-precision 3x3: TPU DEFAULT matmul precision is bf16 (~0.4% = a
+    # display LSB of color error; see ops/sdf.to_object_space)
+    hi = jax.lax.Precision.HIGHEST
+    v = jnp.matmul(rgb, m_in.T, precision=hi)
     v = rrt_and_odt_fit(v)
-    return v @ m_out.T
+    return jnp.matmul(v, m_out.T, precision=hi)
 
 
 def average(accum: jax.Array) -> jax.Array:

@@ -68,9 +68,11 @@ def project(cam: Camera, cfg: RenderConfig, points: jax.Array):
     half_width = cam.aspect * half_height
     x, y, z = camera_basis(cam)
     d = points - cam.lookfrom
-    dx = d @ x
-    dy = d @ y
-    dz = d @ z
+    # explicit VPU dot — (N,3)@(3,) would hit the MXU in bf16 on TPU and
+    # shift warped pixels (see ops/sdf.to_object_space)
+    dx = jnp.sum(d * x, -1)
+    dy = jnp.sum(d * y, -1)
+    dz = jnp.sum(d * z, -1)
     in_front = dz < -1e-6
     denom = jnp.where(in_front, -dz, 1.0)
     u = (dx / denom / half_width + 1.0) * 0.5

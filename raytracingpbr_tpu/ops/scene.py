@@ -315,7 +315,11 @@ def materials_at(scene: Scene, idx: jax.Array) -> Materials:
         scene.roughness[:, None], scene.metallic[:, None],
         scene.transmission[:, None], scene.ior[:, None]], axis=-1)
     oh = (idx[..., None] == jnp.arange(scene.num_objects)).astype(dtype)
-    m = oh @ table  # (..., 10)
+    # HIGHEST: the one-hot is exact but DEFAULT TPU matmul precision would
+    # truncate the table values to bf16 (albedo 0.7 -> 0.6992; see
+    # ops/sdf.to_object_space)
+    m = jnp.matmul(oh, table,
+                   precision=jax.lax.Precision.HIGHEST)  # (..., 10)
     return Materials(m[..., 0:3], m[..., 3:6], m[..., 6], m[..., 7],
                      m[..., 8], m[..., 9])
 
@@ -344,7 +348,8 @@ def animate(scene: Scene, frame: jax.Array,
     t = jnp.pi * frame.astype(scene.position.dtype) / period
     axis = jnp.asarray(spin_axis, scene.position.dtype)
     r_anim = rotate_euler(axis * t)
-    new_matrix = jnp.einsum("ij,njk->nik", r_anim, scene.matrix)
+    new_matrix = jnp.einsum("ij,njk->nik", r_anim, scene.matrix,
+                            precision=jax.lax.Precision.HIGHEST)
     offset = jnp.broadcast_to(
         jnp.array([0.0, 0.0, 1.0], scene.position.dtype) * bob * jnp.sin(t),
         scene.local_offset.shape)

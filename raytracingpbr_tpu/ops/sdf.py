@@ -134,18 +134,24 @@ def bunny_mlp_eval(mlp: BunnyMLP, p: jax.Array,
     ``matmul_dtype`` optionally runs the two 16x16 contractions in bf16 with
     f32 accumulation (MXU-native); default keeps f32 for parity.
     """
+    # f32 runs ask for full-precision contractions: TPU DEFAULT matmul
+    # precision truncates f32 inputs to bf16 on the MXU, which an SDF's
+    # 1e-4 hit test cannot tolerate (see to_object_space). Explicit
+    # matmul_dtype=bf16 opts into the single-pass MXU path.
+    prec = (jax.lax.Precision.HIGHEST if matmul_dtype is None
+            else jax.lax.Precision.DEFAULT)
     w_h1, w_h2 = mlp.w_h1, mlp.w_h2
     if matmul_dtype is not None:
         w_h1 = w_h1.astype(matmul_dtype)
         w_h2 = w_h2.astype(matmul_dtype)
-    f0 = jnp.sin(p @ mlp.w_in + mlp.b_in)
-    h1 = jnp.dot(f0.astype(w_h1.dtype), w_h1,
+    f0 = jnp.sin(jnp.dot(p, mlp.w_in, precision=prec) + mlp.b_in)
+    h1 = jnp.dot(f0.astype(w_h1.dtype), w_h1, precision=prec,
                  preferred_element_type=jnp.float32)
     f1 = jnp.sin(h1 + mlp.b_h1) + f0
-    h2 = jnp.dot(f1.astype(w_h2.dtype), w_h2,
+    h2 = jnp.dot(f1.astype(w_h2.dtype), w_h2, precision=prec,
                  preferred_element_type=jnp.float32)
     f2 = jnp.sin(h2 + mlp.b_h2) / 1.4 + f1
-    return f2 @ mlp.w_out + mlp.bias_out
+    return jnp.dot(f2, mlp.w_out, precision=prec) + mlp.bias_out
 
 
 def sd_bunny(p: jax.Array, mlp: BunnyMLP | None = None,
@@ -176,9 +182,16 @@ def to_object_space(p, position, matrix):
     (``src/sdf.py:64-68`` — scale is an SDF parameter, never a space squeeze).
 
     ``p``: (..., 3); ``position``: (..., 3); ``matrix``: (..., 3, 3).
+
+    Explicit multiply-add (VPU), NOT einsum: on TPU an f32 einsum lowers to
+    an MXU contraction at DEFAULT precision = bf16 inputs, which corrupts
+    every SDF eval by ~0.4% relative — enough to tunnel the XLA march
+    through walls at hit_precision=1e-4 (caught by tests/test_tpu.py on the
+    real chip; the Pallas kernel was unaffected). A length-3 contraction
+    gains nothing from the MXU anyway.
     """
     q = p - position
-    return jnp.einsum("...ij,...j->...i", matrix, q)
+    return jnp.sum(matrix * q[..., None, :], axis=-1)
 
 
 def bake_matrices(rotation_deg: jax.Array) -> jax.Array:

@@ -40,6 +40,13 @@ class Interaction(NamedTuple):
     normal: jax.Array     # (N, 3) true surface normal, faced to the incident
     diffuse: jax.Array    # (N,) bool — the diffuse lobe was selected (NEE)
     outer: jax.Array      # (N,) bool — ray arrived from the outside
+    killed: jax.Array     # (N,) bool — reflect_kill zeroed the throughput
+    #                       (all-False unless reflect_kill; the path-replay
+    #                       backward needs the mask separate from color_scale
+    #                       so its local-factor VJP sees d(scale)/d(albedo)=0
+    #                       on killed lanes)
+    reflect: jax.Array    # (N,) bool — the reflect lobe was selected
+    #                       (specular MIS sky weighting)
 
 
 def diffuse_lobe_prob(scene: Scene, index: jax.Array, direction: jax.Array,
@@ -81,6 +88,122 @@ def diffuse_lobe_prob(scene: Scene, index: jax.Array, direction: jax.Array,
         fr = fresnel_schlick(no_i, f0)
     p_reflect = jnp.where(k < 0.0, 1.0, jnp.clip(fr + metallic, 0.0, 1.0))
     return (1.0 - p_reflect) * (1.0 - jnp.clip(transmission, 0.0, 1.0))
+
+
+def _halfway(omega, direction, normal):
+    """Admissible reflect-lobe halfway vector of ``omega``: the unit vector
+    along ``omega - i`` with positive normal component (guarded at the
+    ``omega == i`` caustic and the horizontal sign boundary)."""
+    diff = omega - direction
+    nrm = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, -1, keepdims=True),
+                               1e-24))
+    m = diff / nrm
+    s = jnp.sign(dot(m, normal))
+    return m * jnp.where(s == 0.0, 1.0, s)[:, None]
+
+
+def _reflect_density_raw(direction, normal, alpha, omega):
+    """Solid-angle density of the RAW reflect-lobe map at direction ``omega``.
+
+    The sampler draws ``h`` ~ cosine hemisphere around ``normal``, forms the
+    microfacet proxy ``m = normalize((1-a)n + a h)`` (``a = roughness^2``)
+    and reflects: ``w = i - 2(m.i)m``. The map w -> m is the halfway
+    inversion ``m = normalize(w - i)`` (Jacobian ``dw = 4|m.i| dm``); the
+    map m -> h inverts the blend: ``h = (k m - (1-a) n)/a`` with
+    ``k = c(m.n) + sqrt(c^2((m.n)^2 - 1) + a^2)``, ``c = 1-a`` (the affine
+    image of the hemisphere is the radius-``a`` sphere centred at ``c n``,
+    whose outward normal at ``v = k m`` is ``h``, giving the projection
+    Jacobian ``dw_m = a^2 (m.h)/|v|^2 dw_h``). Altogether
+
+        p(w) = (h.n) k^2 / (pi a^2 (m.h) 4 |m.i|)
+
+    and p = 0 where the inversion has no solution (outside the lobe's
+    reach). Used by the one-sample MIS between env and BSDF sampling
+    (cfg.env_sampling): both the bank's density ratio and the balance
+    weights. ``alpha`` is clamped away from 0; the weight formulas remain
+    bounded as p -> inf (mirror limit: pure BSDF sampling).
+    """
+    dtype = direction.dtype
+    a = jnp.maximum(alpha, 1e-6)
+    c = 1.0 - a
+    # branch selection: w - i = -2(m.i) m, and m.i can be EITHER sign (the
+    # reference's Schlick |1+NoI|^5 exceeds 1 for backward-facing proxies,
+    # forcing "reflections" off the back of the microfacet) — the admissible
+    # preimage is the sign with m.n > 0 (m is a blend of n and an
+    # upper-hemisphere h, so m.n > 0 structurally). Guarded normalize:
+    # w == i (retroreflection, a genuine fold caustic where the density
+    # diverges integrably) would otherwise produce NaN.
+    m = _halfway(omega, direction, normal)
+    mn = dot(m, normal)
+    disc = c * c * (mn * mn - 1.0) + a * a
+    ok = disc > 0.0
+    k = c * mn + jnp.sqrt(jnp.maximum(disc, 1e-20))
+    h = (k[:, None] * m - c[:, None] * normal) / a[:, None]
+    hn = dot(h, normal)
+    mh = dot(m, h)
+    mi = dot(m, direction)
+    ok = ok & (hn > 0.0) & (mh > 1e-6) & (k > 0.0) & (jnp.abs(mi) > 1e-6)
+    p = (hn * k * k) / (jnp.pi * a * a * jnp.maximum(mh, 1e-6)
+                       * 4.0 * jnp.maximum(jnp.abs(mi), 1e-6))
+    return jnp.where(ok, p, jnp.zeros_like(p)).astype(dtype)
+
+
+def specular_env_density(scene: Scene, index: jax.Array,
+                         direction: jax.Array, normal: jax.Array,
+                         outer: jax.Array, omega_l: jax.Array,
+                         cfg: RenderConfig,
+                         roughness_fresnel: bool = False,
+                         reflect_kill: Optional[bool] = None) -> jax.Array:
+    """``P(reflect lobe) * p_spec(omega_l)`` — the joint density of the
+    stochastic interaction selecting the reflect lobe AND scattering into
+    ``omega_l`` (the reflect-lobe analog of :func:`diffuse_lobe_prob`, which
+    returns a probability because the diffuse density cos/pi is factored
+    into the NEE estimator separately; here the full density is returned).
+
+    The lobe roulette is correlated with the draw through ``fr(m)``, so
+    ``P_reflect`` is evaluated at the halfway vector of ``omega_l``. Under
+    the src-variant fold (``reflect_kill=False``) a below-surface raw
+    reflection is mapped to ``-w``, so the density at an above-surface
+    ``omega_l`` gains the folded preimage ``p_raw(-omega_l)``; under the
+    example-variant kill that mass carries zero throughput and is excluded.
+    """
+    if reflect_kill is None:
+        reflect_kill = roughness_fresnel
+    mat = scenelib.materials_at(scene, index)
+    roughness, metallic, ior = mat.roughness, mat.metallic, mat.ior
+    alpha = roughness * roughness
+
+    def p_with_sel(w):
+        # same branch selection as _reflect_density_raw: the admissible
+        # halfway vector has m.n > 0 (backward-facing proxies flip the
+        # sign of w - i) — the roulette's fr must be evaluated on it
+        m = _halfway(w, direction, normal)
+        no_i = dot(m, direction)
+        env_ior = cfg.env_ior
+        eta = jnp.where(outer, env_ior / ior, ior / env_ior)
+        k_tir = 1.0 - eta * eta * (1.0 - no_i * no_i)
+        f0 = 2.0 * (eta - 1.0) / (eta + 1.0)
+        f0 = f0 * f0
+        if roughness_fresnel and cfg.f0_half:
+            f0 = 0.5 * f0
+        if roughness_fresnel:
+            fr = fresnel_schlick_roughness(no_i, f0, roughness)
+        else:
+            fr = fresnel_schlick(no_i, f0)
+        p_sel = jnp.where(k_tir < 0.0, 1.0,
+                          jnp.clip(fr + metallic, 0.0, 1.0))
+        return p_sel * _reflect_density_raw(direction, normal, alpha, w)
+
+    p = p_with_sel(omega_l)
+    if not reflect_kill:
+        # folded preimage: raw reflections landing at -omega_l (below the
+        # surface whenever omega_l is above) are folded onto omega_l
+        p = p + p_with_sel(-omega_l)
+    # energy-carrying reflections are supported above the faced normal only
+    # (fold moves the below mass up; kill zeroes its throughput) — the
+    # density consulted by the MIS weights is that of energy-carrying
+    # continuations
+    return jnp.where(dot(omega_l, normal) > 0.0, p, jnp.zeros_like(p))
 
 
 def ray_surface_interaction(
@@ -176,6 +299,8 @@ def ray_surface_interaction(
         # (cornell_box.py:280) — multiply the throughput by the {0,1} factor
         killed = take_reflect & refl_outer
         color_scale = color_scale * (~killed).astype(albedo.dtype)[:, None]
+    else:
+        killed = jnp.zeros_like(take_reflect)
 
     # Restart origin (src/pbr.py:58-60): offset along the true normal to
     # whichever side the new direction leaves on.
@@ -187,4 +312,5 @@ def ray_surface_interaction(
         new_origin = position + normal * offs[:, None]
 
     return Interaction(new_dir, new_origin, color_scale, normal,
-                       ~take_reflect & ~take_refract, outer)
+                       ~take_reflect & ~take_refract, outer, killed,
+                       take_reflect)

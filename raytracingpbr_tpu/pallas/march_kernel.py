@@ -444,14 +444,23 @@ def resolve_phases(cfg: RenderConfig) -> Tuple[int, ...]:
                 f"to max_raymarch={cfg.max_raymarch}")
         return ps
     m = cfg.max_raymarch
-    if m <= 64:
+    # An explicit march_chunk must divide every phase budget (resolve_chunk
+    # raises otherwise — e.g. march_chunk=64 with the old fixed 32-budget
+    # phases broke inside the jitted march; ADVICE r3), so round budgets up
+    # to chunk multiples.
+    q = cfg.march_chunk if cfg.march_chunk else 1
+
+    def up(b):
+        return -(-b // q) * q
+
+    if m <= max(64, 2 * q):
         return (m,)
-    phases, nxt = [], 32
+    phases, nxt = [], up(32)
     while sum(phases) < m:
         b = min(nxt, m - sum(phases))
         phases.append(b)
         if len(phases) >= 2:
-            nxt *= 2
+            nxt = up(nxt * 2)
     return tuple(phases)
 
 
@@ -489,6 +498,22 @@ def march_phased(scene: Scene, origin: jax.Array, direction: jax.Array,
     per-lane need. The GPU analog is persistent-threads ray compaction /
     "Shader Execution Reordering"; here it is a host-free XLA
     gather/scatter between pallas_call phases.
+
+    WHY IT CANNOT WIN on this batch shape (measured r4,
+    tools/probe_phased_anatomy.py, TPU v5e, cornell 230k rays): a single
+    b=32 phase over the full batch costs 2.1 ms — already ~86% of the
+    ENTIRE single-shot 512-budget march (2.45 ms), because with chunk=32
+    every active tile executes the full 32 iterations before its first
+    cross-lane convergence check, and the p50 lane need is only ~16. The
+    single-shot's per-tile early exit already stops most tiles after one
+    chunk; its divergence waste (13.4M lane-iters executed vs 4.6M needed)
+    is bounded by the ceil(tile_max/chunk)*chunk granularity, worth at most
+    ~1.5 ms — less than ONE phase's fixed cost, before the ~5 ms/round
+    partition+gathers. Compaction could only pay if a phase's fixed cost
+    were far below the reclaimable waste, i.e. much larger batches or a
+    much longer-tailed need distribution than any reference workload has.
+    Kept for the API surface and for such workloads; default OFF
+    (config.march_compaction).
     """
     phases = resolve_phases(cfg)
     if len(phases) == 1:

@@ -151,6 +151,52 @@ def test_sharded_reprojection_matches_single_device(setup):
                                atol=1e-5, rtol=1e-4)
 
 
+def test_sharded_reprojection_composes_with_strided_layout(setup):
+    """reprojection + layout='strided' together (VERDICT r3 item 8): the
+    refresh permutes the state to image order, warps, and permutes back —
+    bit-identical to the single-device reprojected render."""
+    scene, env, cam, cfg = setup
+    cfg = cfg.replace(samples_per_frame=2, reprojection=True)
+    n = cfg.num_pixels
+    cam2 = cam.replace(lookfrom=cam.lookfrom + jnp.asarray([0.08, 0.0, 0.0]))
+
+    state_s = make_frame_state(n)
+    f1 = jax.jit(lambda st: integ.render_frame(scene, env, cam, st, cfg))
+    for _ in range(3):
+        px_s, state_s = f1(state_s)
+    px_s, state_s = integ.render_frame(scene, env, cam2, state_s, cfg,
+                                       refreshing=True, prev_cam=cam)
+
+    mesh = meshlib.make_mesh(tiles=8, samples=1)
+    state_m = prender.shard_frame_state(make_frame_state(n), mesh)
+    f2 = jax.jit(lambda st: prender.render_frame_sharded(
+        scene, env, cam, st, cfg, mesh, layout="strided"))
+    for _ in range(3):
+        px_m, state_m = f2(state_m)
+    px_m, state_m = prender.render_frame_sharded(
+        scene, env, cam2, state_m, cfg, mesh, refreshing=True, prev_cam=cam,
+        layout="strided")
+
+    np.testing.assert_allclose(
+        np.array(prender.unshard_pixels(px_m, 8, "strided")),
+        np.array(px_s), atol=1e-5, rtol=1e-4)
+    np.testing.assert_allclose(
+        np.array(prender.unshard_pixels(state_m.accum, 8, "strided")),
+        np.array(state_s.accum), atol=1e-5, rtol=1e-4)
+
+
+def test_shard_unshard_roundtrip():
+    """shard_pixels is the exact inverse of unshard_pixels."""
+    x = jnp.arange(48.0).reshape(24, 2)
+    y = prender.shard_pixels(x, 8, "strided")
+    np.testing.assert_array_equal(
+        np.array(prender.unshard_pixels(y, 8, "strided")), np.array(x))
+    # row ti*per+k of the sharded layout holds pixel ti + k*tiles
+    # (x's row p holds value 2p, so pixel id = value/2)
+    np.testing.assert_array_equal((np.array(y[:, 0]).astype(int) // 2) % 8,
+                                  np.repeat(np.arange(8), 3))
+
+
 def test_sharded_adaptive_sampling_matches_single_device(setup):
     """cfg.adaptive_sampling under the mesh: the per-pixel noise gate is
     elementwise over sharded leaves, so the sharded render must track the

@@ -8,6 +8,9 @@ is batching, not semantics — spp budgets are met by running more frames).
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/bench_workloads.py
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

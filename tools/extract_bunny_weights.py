@@ -20,6 +20,9 @@ Derivation of the layout from the source text:
     row-major matrix, so block (j,k) of the 16x16 weight is the mat4 given in
     lane k's expression for f_j, laid out row-major.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import re
 import sys
 

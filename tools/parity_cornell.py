@@ -12,6 +12,9 @@ color management) are unpublished, so the residual brightness gap between
 the principled 0.6 and the fitted 1.0 is attributable to the capture, not
 the renderer; both rows go to PARITY.md.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

@@ -1,5 +1,8 @@
 """Measure the escape-bound march early-exit on the cornell wavefront bench
 workload, on top of the enhanced (w=1.6 rollback) march."""
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

@@ -5,6 +5,9 @@ post-convergence iteration inside a chunk is wasted VPU work — the optimum
 shifts with the per-ray iteration count (over-relaxed marches converge in
 fewer steps and want smaller chunks). Run after changing omega defaults.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

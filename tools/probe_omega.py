@@ -7,6 +7,9 @@ visits the same hit set in fewer iterations: rollback makes over-relaxation
 conservative. This probe quantifies the speedup and verifies estimator
 equivalence (converged linear mean).
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

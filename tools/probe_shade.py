@@ -4,6 +4,9 @@ Pallas march (tools/probe_split.py showed march is only ~28% of the step).
 
 Run: PYTHONPATH=/root/repo:$PYTHONPATH python tools/probe_split.py
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

@@ -3,6 +3,9 @@
 Identifies where the cornell-full-PBR bench frame spends its time so the
 next kernel-fusion decision is data-driven.
 """
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax
