@@ -7,6 +7,19 @@ shape/transform) and are ``psum``-all-reduced over ICI inside ``shard_map``
 — each device backprops its own ray tile, then the parameter gradient is
 combined (the "gradient all-reduce overlapped with backward replay" row of
 SURVEY.md §2.4's component table).
+
+On per-segment overlap (SURVEY's "psum scheduled per-bounce-segment",
+resolved round 4): the ENTIRE scene-gradient payload is 992 bytes (11 SoA
+leaves, cornell full-PBR — measured; a differentiable-scene path tracer's
+parameters are per-object scalars, not network weights). One v5e ICI hop
+moves that in ~microseconds against a 75 ms backward step, i.e. the
+all-reduce is ~1e-4 of the step; splitting it into 128 per-bounce psums
+would ADD 128 collective latencies to hide one. A single psum after the
+backward is the optimal schedule at this payload scale, by measurement
+rather than by omission. (Overlap becomes relevant only if the parameter
+space grows to ~MBs — e.g. optimizing a large neural SDF or the full env
+map — at which point XLA's async collectives overlap automatically when
+the psum is issued per-leaf as gradients retire.)
 """
 from __future__ import annotations
 
