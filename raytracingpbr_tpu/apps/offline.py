@@ -105,6 +105,11 @@ def main(argv=None):
                    choices=["megakernel", "wavefront"],
                    help="megakernel = exact example parity; wavefront = "
                         "same estimator family, ~8x faster on TPU")
+    p.add_argument("--nee", action="store_true",
+                   help="env importance sampling + specular MIS "
+                        "(cfg.env_sampling; HDR-sky scenes only — bakes "
+                        "the alias table; same mean, far lower variance "
+                        "under sparse bright skies)")
     args = p.parse_args(argv)
 
     if args.scene == "bunny_glass":
@@ -146,6 +151,10 @@ def main(argv=None):
         # bunny configs take scale natively; divide the rest here
         cfg = cfg.replace(resolution=(cfg.width // args.scale,
                                       cfg.height // args.scale))
+    if args.nee:
+        from ..ops.ibl import with_env_sampler
+        env = with_env_sampler(env)  # raises for non-HDR skies
+        cfg = cfg.replace(env_sampling=True)
 
     render_animation(scene_fn, env, cam, cfg, args.frames, args.spp,
                      args.out, metrics_path=args.metrics,

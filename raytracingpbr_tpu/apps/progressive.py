@@ -126,6 +126,9 @@ def main(argv=None):
                    help="preview bind address (loopback by default; the "
                         "endpoints are unauthenticated — pass 0.0.0.0 "
                         "explicitly to expose them)")
+    p.add_argument("--nee", action="store_true",
+                   help="env importance sampling + specular MIS "
+                        "(cfg.env_sampling; HDR-sky scenes only)")
     args = p.parse_args(argv)
 
     if args.scene == "demo":
@@ -139,6 +142,10 @@ def main(argv=None):
     if args.scale > 1:
         cfg = cfg.replace(resolution=(cfg.width // args.scale,
                                       cfg.height // args.scale))
+    if args.nee:
+        from ..ops.ibl import with_env_sampler
+        env = with_env_sampler(env)  # raises for non-HDR skies
+        cfg = cfg.replace(env_sampling=True)
     run(scene, env, cam, cfg, args.out, minutes=args.minutes,
         exposure=exposure, metrics_path=args.metrics,
         validate=args.validate, debug_views=args.debug_views,

@@ -96,6 +96,38 @@ def test_phased_march_bit_equal_on_chip(cornell_setup):
                                           err_msg=f"phased {lbl} mismatch")
 
 
+@pytest.mark.parametrize("name", ["cornell_full", "bunny_metal"])
+def test_tpu_render_matches_cpu_golden(name):
+    """End-to-end image on the REAL chip vs the CPU-generated golden.
+
+    Covers the full TPU numerics stack — Mosaic-compiled Pallas march
+    (incl. the bunny MLP's MXU matmuls), XLA shading/post — against the
+    same deterministic render on CPU. The r4 bf16 matmul-precision bug
+    (DEFAULT TPU matmul truncating f32 SDF rotations) scored far below any
+    gate here; with full-precision contractions TPU-vs-CPU drift is
+    reassociation-level. Gate 30 dB (vs the CPU suite's 35: the
+    Pallas-vs-XLA march boundary flips a few boundary pixels)."""
+    import os
+
+    import numpy as np
+
+    from raytracingpbr_tpu.io import image as imageio
+    from raytracingpbr_tpu.utils.metrics import psnr
+
+    from .golden_specs import render_golden
+
+    golden_dir = os.path.join(os.path.dirname(__file__), "..", "assets",
+                              "goldens")
+    path = os.path.join(golden_dir, f"{name}.png")
+    assert os.path.exists(path), f"golden {path} missing"
+    img = render_golden(name)
+    gold = imageio.read_png(path)[..., :3]
+    got = (np.clip(np.asarray(img), 0, 1) * 255 + 0.5).astype(np.uint8)
+    assert got.shape == gold.shape
+    db = psnr(got, gold)
+    assert db >= 30.0, f"{name} on TPU: PSNR {db:.2f} dB vs CPU golden"
+
+
 def test_wavefront_throughput_floor(cornell_setup):
     """Cornell full-PBR wavefront >= 5 Msamples/s AT THE DEFAULT CONFIG.
 
