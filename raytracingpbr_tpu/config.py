@@ -175,6 +175,30 @@ class RenderConfig:
     # keeps scan-AD and path-replay gradients identical).
     mis_specular: bool = True
 
+    # Evaluate the neural-bunny MLP's 16-wide layers on the MXU inside the
+    # Pallas march kernel (pallas/march_kernel.pack_bunny_mxu): the feature
+    # stack's native (16*8, 128) layout turns each contraction into ONE
+    # (128,128) matmul against a constant kron(W.T, eye(8)) block — no
+    # relayouts; sins/residuals stay on the VPU. Identical math up to f32
+    # summation order inside the MXU (goldens are tolerance-gated).
+    # Default set by measurement — tools/probe_bunny_mxu.py, round 5.
+    bunny_mxu: bool = False
+
+    # Occlusion-only "diet" march for NEE shadow rays (cfg.env_sampling; no
+    # reference analog — the reference has no NEE). A binary visibility
+    # query needs neither the screen-space cone hit criterion nor the
+    # primary march budget: the march only has to decide "does this ray
+    # reach the sky". Diet mode marches shadow rays with an ABSOLUTE hit
+    # test at half the surface-restart offset (a pass closer than min_dis/2
+    # to any surface counts occluded), a reduced iteration budget
+    # (auto: min(128, max_raymarch)), and the escape-bound early exit
+    # (exact for visibility). Budget-exhausted lanes count visible.
+    # Bias + speedup measured on hardware (tools/bench_nee.py, round 5) —
+    # see the committed numbers in SCALING.md before changing defaults.
+    shadow_diet: bool = True
+    shadow_max_raymarch: Optional[int] = None   # auto: min(128, max_raymarch)
+    shadow_hit_precision: Optional[float] = None  # auto: 0.5 * min_dis
+
     # Path-replay backward (ops/replay.py): checkpoint the forward's march
     # results — (t, hit-index) per bounce, plus the NEE visibility bit under
     # env_sampling — so the backward replay skips re-marching entirely (the

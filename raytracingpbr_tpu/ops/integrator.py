@@ -51,6 +51,29 @@ def _where(mask, a, b):
     return jnp.where(mask[:, None] if a.ndim == 2 else mask, a, b)
 
 
+def shadow_march(scene: Scene, origin, direction, cfg: RenderConfig,
+                 gate) -> jax.Array:
+    """Occlusion test for NEE shadow rays: returns an (N,) bool ``occluded``.
+
+    With ``cfg.shadow_diet`` the march runs in an occlusion-tuned mode
+    (see the ``shadow_diet`` config docstring): absolute hit criterion at
+    ``min_dis/2``, a reduced iteration budget, auto chunking. Without it,
+    the scene's own march settings are used (round-4 behavior). Either way
+    ``escape_bound`` is on — exact for a binary visibility query."""
+    from ..config import HitCriterion
+    sc = cfg.replace(escape_bound=True)
+    if cfg.shadow_diet:
+        sc = sc.replace(
+            max_raymarch=(cfg.shadow_max_raymarch
+                          or min(128, cfg.max_raymarch)),
+            hit_criterion=HitCriterion.ABSOLUTE,
+            hit_precision=(cfg.shadow_hit_precision or 0.5 * cfg.min_dis),
+            march_chunk=None)
+    res = marchlib.march(scene, origin, direction, sc,
+                         differentiable=False, active=gate)
+    return res.hit
+
+
 def _nee_env(scene: Scene, env: Environment, index, position, direction,
              normal, outer, albedo, gate, pixel_id, counter,
              cfg: RenderConfig, roughness_fresnel: bool = False,
@@ -97,10 +120,7 @@ def _nee_env(scene: Scene, env: Environment, index, position, direction,
         # Visibility only — escape_bound is exact for a binary occlusion
         # test (bounding_radius returns None for unbounded scenes; then
         # it's a no-op).
-        res = marchlib.march(scene, origin, d_l,
-                             cfg.replace(escape_bound=True),
-                             differentiable=False, active=gate)
-        visible = gate & ~res.hit
+        visible = gate & ~shadow_march(scene, origin, d_l, cfg, gate)
     else:
         visible = visible_rec
     pdf_safe = jnp.maximum(pdf, 1e-12)

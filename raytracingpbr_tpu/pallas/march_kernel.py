@@ -70,6 +70,82 @@ def pack_bunny(scene: Scene) -> jax.Array:
         b.w_out[None], last], axis=0)
 
 
+def pack_bunny_mxu(scene: Scene) -> jax.Array:
+    """Pack the bunny MLP as MXU-ready block-Kronecker matrices.
+
+    The kernel's activations live as a (128, 128) stack of 16 feature
+    tiles: row ``8*k + r`` holds feature ``k``'s (8, 128) tile sublane
+    ``r``. In that layout the 16-wide contraction ``out[k] = sum_j W[j,k] *
+    f[j]`` IS a (128,128) @ (128,128) matmul with the constant matrix
+    ``M = kron(W.T, eye(8))`` (``M[8k+r, 8j+r'] = W[j,k] * delta(r,r')``) —
+    no transposes or relayouts anywhere; the MXU eats the contraction and
+    the VPU keeps only the sins/residuals (VERDICT r4 item 3).
+
+    Layout of the returned (392, 128) f32 block:
+      rows   0-127  M_in   = kron(w_in.T(3,16)->, eye(8)) zero-padded K
+      rows 128-255  M_h1   = kron(w_h1.T, eye(8))
+      rows 256-383  M_h2   = kron(w_h2.T, eye(8))
+      row  384      b_in  broadcast per feature block (col c = b[c//8])
+      row  385      b_h1  likewise
+      row  386      b_h2  likewise
+      rows 387-394 are not needed: V_out is 8 rows -> rows 387.. hold
+      V_out = kron(w_out(1,16), eye(8)) (8, 128); bias_out in row 395? —
+      compactly: rows 384-386 biases, rows 387-394 V_out, row 395 col 0
+      bias_out. Total 396 rows, padded to 400.
+    """
+    b = scene.bunny
+    w_in = np.asarray(b.w_in, np.float32)    # (3, 16)
+    w_h1 = np.asarray(b.w_h1, np.float32)    # (16, 16)
+    w_h2 = np.asarray(b.w_h2, np.float32)    # (16, 16)
+    w_out = np.asarray(b.w_out, np.float32)  # (16,)
+    eye8 = np.eye(8, dtype=np.float32)
+
+    def kron_t(w):  # (j_in, 16) -> (128, 8*j_in) -> pad to (128, 128)
+        m = np.kron(w.T, eye8)  # (8*16, 8*j_in)
+        out = np.zeros((128, 128), np.float32)
+        out[: m.shape[0], : m.shape[1]] = m
+        return out
+
+    def brow(v):  # per-feature bias -> (1, 128) feature-block broadcast
+        return np.repeat(np.asarray(v, np.float32), 8)[None, :]
+
+    v_out = np.kron(w_out[None, :], eye8)  # (8, 128)
+    last = np.zeros((1, 128), np.float32)
+    last[0, 0] = float(b.bias_out)
+    block = np.concatenate([
+        kron_t(w_in), kron_t(w_h1), kron_t(w_h2),
+        brow(b.b_in), brow(b.b_h1), brow(b.b_h2),
+        v_out, last,
+        np.zeros((4, 128), np.float32)], axis=0)  # pad rows to 400
+    return jnp.asarray(block)
+
+
+def _bunny_tile_mxu(mref, px, py, pz):
+    """MXU bunny eval on an (8, 128) tile (see pack_bunny_mxu): three
+    (128,128) matmuls + per-tile sins. Math identical to _bunny_tile up to
+    f32 summation order inside the MXU contraction."""
+    f32 = jnp.float32
+    pad = jnp.zeros((104, 128), f32)
+    p = jnp.concatenate([px, py, pz, pad], axis=0)        # (128, 128)
+    m_in = mref[0:128, :]
+    m_h1 = mref[128:256, :]
+    m_h2 = mref[256:384, :]
+    b_in = mref[384, :][None, :]
+    b_h1 = mref[385, :][None, :]
+    b_h2 = mref[386, :][None, :]
+    v_out = mref[387:395, :]
+    bias_out = mref[395, 0]
+
+    dot = lambda a, x: jax.lax.dot_general(
+        a, x, (((1,), (0,)), ((), ())), preferred_element_type=f32)
+    f0 = jnp.sin(dot(m_in, p) + b_in)
+    f1 = jnp.sin(dot(m_h1, f0) + b_h1) + f0
+    f2 = jnp.sin(dot(m_h2, f1) + b_h2) * (1.0 / 1.4) + f1
+    sd = dot(v_out, f2) + bias_out                        # (8, 128)
+    r = jnp.sqrt(px * px + py * py + pz * pz)
+    return jnp.where(r > 1.0, r - 0.8, sd)
+
+
 def _bunny_tile(wref, px, py, pz):
     """Sin-MLP bunny SDF on an (8, 128) tile — the two 16-wide hidden
     layers unrolled as VPU FMA chains (a 16x16 contraction is far below
@@ -134,7 +210,7 @@ def _sd_tile(type_id: int, px, py, pz, sx, sy, sz, box_round: float):
 
 
 def _nearest_tile(scene_types, obj_params, x, y, z, box_round,
-                  bunny_ref=None, rot_perm=None):
+                  bunny_ref=None, rot_perm=None, bunny_mxu=False):
     """Unrolled min over |sd_i| for a tile of world points. Returns
     (min_dis, index) as (8, 128) arrays.
 
@@ -174,9 +250,10 @@ def _nearest_tile(scene_types, obj_params, x, y, z, box_round,
             # for the whole tile in that common case (lanes are pixel-
             # coherent, so the guard hits).
             r2 = px * px + py * py + pz * pz
+            tile_fn = _bunny_tile_mxu if bunny_mxu else _bunny_tile
             d = jax.lax.cond(
                 jnp.min(r2) <= 1.0,  # <= : at r == 1 _bunny_tile uses the MLP
-                lambda: jnp.abs(_bunny_tile(bunny_ref, px, py, pz)),
+                lambda: jnp.abs(tile_fn(bunny_ref, px, py, pz)),
                 lambda: jnp.sqrt(r2) - 0.8)  # r > 1 everywhere -> positive
         else:
             d = jnp.abs(
@@ -213,7 +290,7 @@ def resolve_chunk(cfg: RenderConfig) -> int:
 def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
                   box_round: float, has_bunny: bool, has_active: bool,
                   rot_perm: Tuple = None, has_bound: bool = False,
-                  has_init: bool = False):
+                  has_init: bool = False, bunny_mxu: bool = False):
     refs = list(refs)
     bunny_ref = refs.pop(0) if has_bunny else None
     act_ref = refs.pop(0) if has_active else None
@@ -247,7 +324,8 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
         y = oy + t * dy
         z = oz + t * dz
         dist, index = _nearest_tile(scene_types, obj_params, x, y, z,
-                                    box_round, bunny_ref, rot_perm)
+                                    box_round, bunny_ref, rot_perm,
+                                    bunny_mxu=bunny_mxu)
         ld = d
 
         if not rollback_allowed:
@@ -349,10 +427,11 @@ def _pad_to_tile(x: jax.Array) -> Tuple[jax.Array, int]:
 
 
 @functools.partial(jax.jit, static_argnames=("scene_types", "box_round",
-                                             "cfg", "rot_perm", "has_bound"))
+                                             "cfg", "rot_perm", "has_bound",
+                                             "bunny_mxu"))
 def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
                        box_round, cfg: RenderConfig, rot_perm=None,
-                       has_bound=False, init=None):
+                       has_bound=False, init=None, bunny_mxu=False):
     o_pad, n = _pad_to_tile(origin)
     d_pad, _ = _pad_to_tile(direction)
     num = o_pad.shape[0]
@@ -372,7 +451,7 @@ def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
                                cfg=cfg, box_round=box_round,
                                has_bunny=has_bunny, has_active=has_active,
                                rot_perm=rot_perm, has_bound=has_bound,
-                               has_init=has_init)
+                               has_init=has_init, bunny_mxu=bunny_mxu)
 
     tile_spec = pl.BlockSpec((1, TILE_ROWS, TILE_COLS),
                              lambda i: (i, 0, 0),
@@ -417,12 +496,14 @@ def march_pallas(scene: Scene, origin: jax.Array, direction: jax.Array,
     ``active``: optional (N,) bool lane gate (see ``ops.march.march``)."""
     has_bound = cfg.escape_bound and SHAPE.PLANE not in scene.shape_types
     params = pack_scene(scene, escape_bound=has_bound)
-    bunny = pack_bunny(scene) if scene.bunny is not None else None
+    mxu = cfg.bunny_mxu
+    bunny = ((pack_bunny_mxu(scene) if mxu else pack_bunny(scene))
+             if scene.bunny is not None else None)
     return _march_pallas_impl(params, bunny, origin, direction, active,
                               tuple(scene.shape_types),
                               float(scene.box_round), cfg,
                               rot_perm=tuple(scene.rot_perm),
-                              has_bound=has_bound)[:4]
+                              has_bound=has_bound, bunny_mxu=mxu)[:4]
 
 
 def resolve_phases(cfg: RenderConfig) -> Tuple[int, ...]:
@@ -521,7 +602,8 @@ def march_phased(scene: Scene, origin: jax.Array, direction: jax.Array,
 
     has_bound = cfg.escape_bound and SHAPE.PLANE not in scene.shape_types
     params = pack_scene(scene, escape_bound=has_bound)
-    bunny = pack_bunny(scene) if scene.bunny is not None else None
+    bunny = ((pack_bunny_mxu(scene) if cfg.bunny_mxu else pack_bunny(scene))
+             if scene.bunny is not None else None)
     stypes = tuple(scene.shape_types)
     br = float(scene.box_round)
     rp = tuple(scene.rot_perm)
@@ -556,7 +638,8 @@ def march_phased(scene: Scene, origin: jax.Array, direction: jax.Array,
         t, idx_p, hit_p, fin_p, w, s, d, done = _march_pallas_impl(
             params, bunny, o_cur, d_cur, was_active, stypes, br,
             cfg.replace(max_raymarch=budget), rot_perm=rp,
-            has_bound=has_bound, init=(t, w, s, d) if k > 0 else None)
+            has_bound=has_bound, init=(t, w, s, d) if k > 0 else None,
+            bunny_mxu=cfg.bunny_mxu)
         # done-at-entry lanes keep their previous result (the kernel writes
         # zeros for them); the budget-capped fin of still-marching lanes
         # accumulates into the total need

@@ -28,7 +28,8 @@ base = cornell.full_config().replace(
     samples_per_frame=4, max_raytrace=512, quality_per_sample=0.8,
     omega=1.6, omega_policy=OmegaPolicy.ROLLBACK_TO_ONE)
 
-for chunk in (8, 16):
+chunks = tuple(int(a) for a in _sys.argv[1:]) or (8, 16, 32, 64)
+for chunk in chunks:
     cfg = base.replace(march_chunk=chunk)
     frame = jax.jit(lambda st, cfg=cfg: integ.render_frame(
         scene, env, cam, st, cfg))
