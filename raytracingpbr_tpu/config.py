@@ -175,6 +175,31 @@ class RenderConfig:
     # keeps scan-AD and path-replay gradients identical).
     mis_specular: bool = True
 
+    # Budget-capped SPLIT MARCH for the wavefront integrator (no reference
+    # analog; the answer to the march divergence tax that reordering and
+    # compaction could not give — tools/probe_reorder.py measured gathers
+    # costing more than the whole march, and stale sort keys decorrelate
+    # within one frame). Each wavefront step marches at most this many
+    # trips; a lane that neither hits nor escapes carries its EXACT loop
+    # state (FrameState.march_state) and resumes next step, so a deep
+    # segment spreads over steps while its (8,128) tile-mates advance their
+    # own fresh segments. Per lane the iteration sequence equals one
+    # uninterrupted march and consumption is min(residual, budget)
+    # independent of tile composition — deposits/scheduling are
+    # sharding- and checkpoint-invariant (tests/test_split_march.py; on
+    # the CPU mesh stand-in the in-flight f32 carry can differ at
+    # reassociation level because XLA-CPU forms FMAs differently per
+    # shard size — per-lane math is identical). The sampling SCHEDULE
+    # changes (a deep segment's shading draws happen at a later step
+    # counter), so images differ from the unsplit wavefront in noise
+    # realization only — each pixel's estimator is unchanged.
+    # Simulated on the measured cornell need distribution
+    # (tools/probe_split_budget.py): executed/needed tax 13.1x -> 2.0x at
+    # budget 32 with 90% of segments still completing per step. Applies to
+    # the wavefront integrator only (megakernel/replay keep exact
+    # per-bounce scan semantics). None = off.
+    march_split: Optional[int] = None
+
     # Evaluate the neural-bunny MLP's 16-wide layers on the MXU inside the
     # Pallas march kernel (pallas/march_kernel.pack_bunny_mxu): the feature
     # stack's native (16*8, 128) layout turns each contraction into ONE

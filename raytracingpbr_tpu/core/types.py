@@ -120,6 +120,14 @@ class FrameState:
     # ops/integrator._nee_env); the balance-heuristic complement after a
     # reflect bounce under cfg.mis_specular; 1 otherwise.
     sky_w: jax.Array       # (N,) f32
+    # Split-march carry (cfg.march_split): packed (t, w, s, d) loop state
+    # of an in-flight march segment, and the cumulative trips it has
+    # consumed (0 = no segment in flight). Lets a wavefront step cap its
+    # march at a small budget and resume deep segments next step instead
+    # of stalling whole (8,128) tiles for up to max_raymarch iterations
+    # (ops/integrator._trace_one_bounce, tools/probe_split_budget.py).
+    march_state: jax.Array  # (N, 4) f32
+    march_cum: jax.Array    # (N,) i32
 
 
 def make_frame_state(n: int, dtype=jnp.float32) -> FrameState:
@@ -134,6 +142,8 @@ def make_frame_state(n: int, dtype=jnp.float32) -> FrameState:
         respawn=jnp.zeros((n,), jnp.uint32),
         hit_t=jnp.full((n,), NO_HIT_T, dtype),
         sky_w=jnp.ones((n,), dtype),
+        march_state=jnp.zeros((n, 4), dtype),
+        march_cum=jnp.zeros((n,), jnp.int32),
     )
 
 
@@ -153,4 +163,6 @@ def refresh(state: FrameState) -> FrameState:
         respawn=jnp.zeros_like(state.respawn),
         hit_t=jnp.full_like(state.hit_t, NO_HIT_T),
         sky_w=jnp.ones_like(state.sky_w),
+        march_state=jnp.zeros_like(state.march_state),
+        march_cum=jnp.zeros_like(state.march_cum),
     )

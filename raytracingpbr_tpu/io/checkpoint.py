@@ -38,6 +38,8 @@ def save(path: str, state: FrameState, meta: Optional[dict] = None) -> None:
         "respawn": state.respawn,
         "hit_t": state.hit_t,
         "sky_w": state.sky_w,
+        "march_state": state.march_state,
+        "march_cum": state.march_cum,
     }
     host = {k: np.asarray(jax.device_get(v)) for k, v in leaves.items()}
     host["_meta"] = np.frombuffer(
@@ -73,6 +75,11 @@ def load(path: str) -> Tuple[FrameState, dict]:
             sky_w=(z["sky_w"] if "sky_w" in z else
                    (1.0 - z["nee_flag"].astype(np.float32))
                    if "nee_flag" in z else
-                   np.ones(z["noise"].shape, np.float32)))
+                   np.ones(z["noise"].shape, np.float32)),
+            # split-march carry (older checkpoints: nothing in flight)
+            march_state=(z["march_state"] if "march_state" in z else
+                         np.zeros(z["noise"].shape + (4,), np.float32)),
+            march_cum=(z["march_cum"] if "march_cum" in z else
+                       np.zeros(z["noise"].shape, np.int32)))
         meta = json.loads(bytes(z["_meta"]).decode()) if "_meta" in z else {}
     return jax.tree.map(lambda x: np.asarray(x), state), meta

@@ -156,7 +156,8 @@ def _trace_one_bounce(scene: Scene, env: Environment, rays: Rays,
                       roughness_fresnel: bool = False,
                       restart_at_hit: bool = False,
                       active: Optional[jax.Array] = None,
-                      prev_sky_w: Optional[jax.Array] = None):
+                      prev_sky_w: Optional[jax.Array] = None,
+                      resume=None):
     """One ``raytrace`` bounce (``src/pathtracer.py:16-36``): march, then
     surface interaction or sky, emission multiply, brightness termination.
     ``counter`` is the RNG step counter for this bounce's draws. ``active``
@@ -166,12 +167,55 @@ def _trace_one_bounce(scene: Scene, env: Environment, rays: Rays,
     radiance was banked exactly by NEE at the previous vertex), the
     balance-heuristic complement after a reflect bounce
     (``cfg.mis_specular``), 1 otherwise.
-    Returns ``(traced, t, hit, nee, next_sky_w)``; ``nee`` is the banked
-    NEE radiance (None when env sampling is off), ``next_sky_w`` the weight
-    to carry to the next segment.
+
+    ``resume``: with ``cfg.march_split`` (budget-capped split march), the
+    ``(march_state (N,4), march_cum (N,))`` carry from FrameState. The
+    march runs at most ``march_split`` trips this call; lanes that neither
+    hit nor escape within the per-segment budget remaining carry their
+    exact loop state to the next wavefront step and are returned
+    UNCHANGED in ``traced`` (no shading, no depth advance — their segment
+    is still in flight). Per lane the iteration sequence equals one
+    uninterrupted march, and per-lane consumption is min(residual, budget)
+    regardless of tile composition, so results stay sharding-invariant
+    (tools/probe_split_budget.py for why: the deep-march tail otherwise
+    stalls whole (8,128) tiles for up to max_raymarch iterations).
+
+    Returns ``(traced, t, hit, nee, next_sky_w, completed, resume_out)``;
+    ``completed``/``resume_out`` are None without ``resume``.
     """
-    res = marchlib.march(scene, rays.origin, rays.direction, cfg,
-                         differentiable=differentiable, active=active)
+    completed = None
+    resume_out = None
+    if resume is not None:
+        mstate, mcum = resume
+        marching = mcum > 0
+        mcfg = cfg.replace(max_raymarch=cfg.march_split)
+        defaults = (cfg.march_t0, cfg.omega, 0.0, scenelib.MAX_DIS)
+        init = tuple(jnp.where(marching, mstate[:, k], dflt)
+                     for k, dflt in enumerate(defaults))
+        rr = marchlib.march_resumable(scene, rays.origin, rays.direction,
+                                      mcfg, active=active, init=init)
+        act = (active if active is not None
+               else jnp.ones_like(marching))
+        cum_new = mcum + rr.fin
+        completed = act & ((rr.done > 0) | (cum_new >= cfg.max_raymarch))
+        t = rr.t
+        if differentiable:
+            t = marchlib._hit_t(scene, rays.origin, rays.direction, rr.t,
+                                rr.index, rr.hit & completed)
+        res = marchlib.MarchResult(
+            t, rays.origin + t[:, None] * rays.direction, rr.index,
+            rr.hit, jnp.max(rr.fin))
+        # completed lanes re-arm for a fresh segment next step; in-flight
+        # lanes carry the exact loop state (gated-inactive lanes: fin=0 and
+        # the kernel echoes its init state back, so they pause unchanged)
+        resume_out = (
+            jnp.where(completed[:, None], 0.0,
+                      jnp.stack([rr.t, rr.w, rr.s, rr.d], axis=-1)),
+            jnp.where(completed, 0, cum_new).astype(mcum.dtype),
+        )
+    else:
+        res = marchlib.march(scene, rays.origin, rays.direction, cfg,
+                             differentiable=differentiable, active=active)
     depth = rays.depth + 1  # raycast increments depth (src/scene.py:83)
 
     u4 = rnglib.uniform4(pixel_id, counter, _S_SHADE, cfg.seed,
@@ -224,6 +268,9 @@ def _trace_one_bounce(scene: Scene, env: Environment, rays: Rays,
         gate = hit & ~stop & (depth <= cfg.max_raytrace)
         if active is not None:
             gate = gate & active
+        if completed is not None:
+            # split march: NEE banks only at completed surface vertices
+            gate = gate & completed
         # Raw material albedo, NOT inter.color_scale: with reflect_kill the
         # scale carries a {0,1} factor correlated with this vertex's lobe
         # draw, which would bias E[bank] dark by the kill probability
@@ -256,9 +303,18 @@ def _trace_one_bounce(scene: Scene, env: Environment, rays: Rays,
         color=_where(hit, color_hit, color_miss),
         depth=jnp.where(hit, depth_hit, depth_miss),
     )
+    if completed is not None:
+        # in-flight split-march lanes: segment not finished — no shading,
+        # no depth advance; the ray is returned unchanged
+        traced = jax.tree.map(
+            lambda new, old: _where(completed, new, old), traced, rays)
+        if next_sky_w is not None:
+            keepw = (prev_sky_w if prev_sky_w is not None
+                     else jnp.ones_like(next_sky_w))
+            next_sky_w = jnp.where(completed, next_sky_w, keepw)
     # march t/hit surface to the caller: for lanes whose segment was a
     # primary camera ray this is the depth buffer (reprojection)
-    return traced, res.t, hit, nee, next_sky_w
+    return traced, res.t, hit, nee, next_sky_w, completed, resume_out
 
 
 # ---------------------------------------------------------------------------
@@ -273,7 +329,9 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
                    differentiable: bool = False,
                    respawn: Optional[jax.Array] = None,
                    hit_t: Optional[jax.Array] = None,
-                   sky_w: Optional[jax.Array] = None):
+                   sky_w: Optional[jax.Array] = None,
+                   march_state: Optional[jax.Array] = None,
+                   march_cum: Optional[jax.Array] = None):
     """One russian-roulette wavefront step per pixel
     (``src/pathtracer.py:65-77`` -> ``track_once`` -> ``raytrace``).
 
@@ -289,10 +347,18 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
     that traced a fresh camera ray this step (reprojection input).
     ``sky_w``: optional (N,) f32 — the MIS/partition weight on the path's
     next sky lookup (``cfg.env_sampling``; see ``FrameState.sky_w``).
-    Returns ``(rays, accum, respawn, hit_t, sky_w)``.
+    ``march_state``/``march_cum``: with ``cfg.march_split``, the (N,4)/(N,)
+    split-march carry (``FrameState.march_state``) — a lane whose segment
+    is still marching (cum > 0) skips roulette, deposit and respawn until
+    the segment completes (the reference rolls roulette once per bounce
+    segment, src/pathtracer.py:80-91; split marching keeps that schedule).
+    Returns ``(rays, accum, respawn, hit_t, sky_w, march_state,
+    march_cum)``.
     """
     depth = rays.depth
     dtype = rays.color.dtype
+    split = cfg.march_split is not None and march_cum is not None
+    marching = (march_cum > 0) if split else None
 
     # Russian roulette (src/pathtracer.py:65-77). Depth-linear survival:
     # 1 at depth 0, else quality - depth/max (negative depths from terminated
@@ -302,12 +368,21 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
                      cfg.quality_per_sample
                      - depth.astype(dtype) * (1.0 / cfg.max_raytrace))
     kill = u_r > prob
+    if split:
+        # mid-segment lanes already survived their segment's roulette
+        kill = kill & ~marching
     survive = ~kill
     color_surv = rays.color / jnp.maximum(prob, 1e-8)[:, None]
+    if split:
+        color_surv = _where(marching, rays.color, color_surv)
 
     # track_once (src/pathtracer.py:53-62): finished paths deposit and
     # respawn a camera ray with sub-pixel jitter.
     finished = (depth < 1) | (depth > cfg.max_raytrace)
+    if split:
+        # a marching lane's depth is its SEGMENT-START depth (0 while its
+        # primary is in flight) — it is not awaiting respawn
+        finished = finished & ~marching
     deposit = finished & survive
     if active is not None:
         deposit = deposit & active
@@ -337,10 +412,12 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
     if cfg.env_sampling and sky_w is not None:
         # a respawned lane starts a fresh path: plain sky lookup
         prev_sky_w = jnp.where(finished, jnp.ones_like(sky_w), sky_w)
-    traced, march_t, march_hit, nee, next_sky_w = _trace_one_bounce(
-        scene, env, pre, pixel_id, step, cfg,
-        differentiable=differentiable, active=active,
-        prev_sky_w=prev_sky_w)
+    traced, march_t, march_hit, nee, next_sky_w, completed, resume_out = \
+        _trace_one_bounce(
+            scene, env, pre, pixel_id, step, cfg,
+            differentiable=differentiable, active=active,
+            prev_sky_w=prev_sky_w,
+            resume=(march_state, march_cum) if split else None)
 
     # kill lane (src/pathtracer.py:70-72): zero the contribution, mark
     # terminated; the zero sample deposits on the next step's respawn.
@@ -364,8 +441,13 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
         respawn = respawn + used.astype(jnp.uint32)
     if hit_t is not None:
         from ..core.types import NO_HIT_T
-        # lanes that traced a fresh primary ray this step record its depth
-        hit_t = jnp.where(used,
+        # lanes that traced a fresh primary ray this step record its depth;
+        # under split marching the primary segment may span several steps,
+        # so record at its COMPLETION (segment-start depth 0)
+        rec = used if not split else (
+            completed & (pre.depth == 0) & survive
+            & (active if active is not None else True))
+        hit_t = jnp.where(rec,
                           jnp.where(march_hit, march_t, NO_HIT_T),
                           hit_t)
     if nee is not None:
@@ -379,7 +461,17 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
         keep = survive if active is None else (survive & active)
         sky_w = jnp.where(keep, next_sky_w,
                           prev_sky_w if prev_sky_w is not None else sky_w)
-    return new_rays, accum, respawn, hit_t, sky_w
+    if split:
+        ms_new, mc_new = resume_out
+        # a roulette-killed lane's in-flight segment is abandoned with it
+        # (its zero sample deposits on the respawn step, as in the
+        # reference); gated-inactive lanes keep their carry unchanged
+        mc_new = jnp.where(survive, mc_new, 0)
+        if active is not None:
+            ms_new = _where(active, ms_new, march_state)
+            mc_new = jnp.where(active, mc_new, march_cum)
+        march_state, march_cum = ms_new, mc_new
+    return new_rays, accum, respawn, hit_t, sky_w, march_state, march_cum
 
 
 def render_frame(scene: Scene, env: Environment, cam: Camera,
@@ -434,13 +526,15 @@ def render_frame_tile(scene: Scene, env: Environment, cam: Camera,
 
     respawn, hit_t = state.respawn, state.hit_t
     sky_w = state.sky_w
+    march_state, march_cum = state.march_state, state.march_cum
     k = 0
     for _ in range(cfg.samples_per_frame):
         for _ in range(cfg.samples_per_pixel):
-            rays, accum, respawn, hit_t, sky_w = wavefront_step(
+            (rays, accum, respawn, hit_t, sky_w, march_state,
+             march_cum) = wavefront_step(
                 scene, env, cam, rays, accum, pixel_id, base + k, cfg,
                 active=active, respawn=respawn, hit_t=hit_t,
-                sky_w=sky_w)
+                sky_w=sky_w, march_state=march_state, march_cum=march_cum)
             k += 1
 
     pixels, diff_accum, noise = postlib.post_process(
@@ -449,6 +543,7 @@ def render_frame_tile(scene: Scene, env: Environment, cam: Camera,
     new_state = state.replace(
         rays=rays, accum=accum, frame=state.frame + 1,
         pixels=pixels, respawn=respawn, hit_t=hit_t, sky_w=sky_w,
+        march_state=march_state, march_cum=march_cum,
         diff_accum=diff_accum if diff_accum is not None else state.diff_accum,
         noise=noise if noise is not None else state.noise,
     )

@@ -43,7 +43,7 @@ class MarchResult(NamedTuple):
 
 
 def _march_loop(scene: Scene, origin, direction, cfg: RenderConfig,
-                active=None):
+                active=None, init=None):
     n = origin.shape[0]
     dtype = origin.dtype
     # Derive loop-carry inits from the ray arrays (not fresh constants) so
@@ -62,16 +62,27 @@ def _march_loop(scene: Scene, origin, direction, cfg: RenderConfig,
         index: jax.Array
         hit: jax.Array
         done: jax.Array
+        fin: jax.Array  # per-lane 1-based convergence trip count
+
+    if init is not None:
+        # resume a budget-limited prior run (split march): carry the exact
+        # loop state — per lane the iteration sequence is identical to one
+        # uninterrupted march (mirrors the Pallas kernel's has_init path)
+        t0v, w0v, s0v, d0v = (zero + v for v in init)
+    else:
+        t0v, w0v, s0v, d0v = (f(cfg.march_t0), f(cfg.omega), f(0.0),
+                              f(scenelib.MAX_DIS))
 
     state = S(
         i=jnp.zeros((), jnp.int32),
-        t=f(cfg.march_t0),
-        w=f(cfg.omega),
-        s=f(0.0),
-        d=f(scenelib.MAX_DIS),
+        t=t0v,
+        w=w0v,
+        s=s0v,
+        d=d0v,
         index=zero.astype(jnp.int32),
         hit=zero > 1.0,
         done=done0,
+        fin=jnp.where(done0, 0, cfg.max_raymarch).astype(jnp.int32),
     )
 
     bound2 = None
@@ -145,11 +156,12 @@ def _march_loop(scene: Scene, origin, direction, cfg: RenderConfig,
             index=jnp.where(active, index, st.index),
             hit=hit_new,
             done=done_new,
+            fin=jnp.where(active & done_new, st.i + 1, st.fin),
         )
 
     st = jax.lax.while_loop(cond, body, state)
     position = origin + st.t[:, None] * direction
-    return MarchResult(st.t, position, st.index, st.hit, st.i)
+    return MarchResult(st.t, position, st.index, st.hit, st.i), st
 
 
 @jax.custom_vjp
@@ -189,6 +201,64 @@ def _hit_t_bwd(res, g):
 
 
 _hit_t.defvjp(_hit_t_fwd, _hit_t_bwd)
+
+
+class ResumableResult(NamedTuple):
+    """Full per-lane march loop state (split / budget-capped marching)."""
+    t: jax.Array      # (N,) f32
+    index: jax.Array  # (N,) i32
+    hit: jax.Array    # (N,) bool
+    fin: jax.Array    # (N,) i32 — trips consumed this call (budget if
+    #                   unconverged, 0 if gated inactive)
+    w: jax.Array      # (N,) f32 — over-relaxation state
+    s: jax.Array      # (N,) f32 — last step length
+    d: jax.Array      # (N,) f32 — last distance
+    done: jax.Array   # (N,) i32 — 1 if hit/escaped (or gated inactive)
+
+
+def march_resumable(scene: Scene, origin: jax.Array, direction: jax.Array,
+                    cfg: RenderConfig, active: Optional[jax.Array] = None,
+                    init=None, backend: str = "auto") -> ResumableResult:
+    """Budget-capped march exposing the full resumable loop state.
+
+    ``cfg.max_raymarch`` is the per-call trip budget; ``init`` is an
+    optional ``(t, w, s, d)`` tuple of (N,) arrays carrying a prior call's
+    loop state — per lane, the iteration sequence across resumed calls is
+    bit-identical to one uninterrupted march (the Pallas kernel's
+    ``has_init`` path; same contract in the XLA loop). Per-lane consumption
+    is ``min(residual need, budget)`` regardless of tile composition, so
+    split marching is sharding-invariant. Forward-only (callers attach
+    ``_hit_t`` at segment completion)."""
+    scene = jax.lax.stop_gradient(scene)
+    origin = jax.lax.stop_gradient(origin)
+    direction = jax.lax.stop_gradient(direction)
+    active = None if active is None else jax.lax.stop_gradient(active)
+    init = None if init is None else tuple(
+        jax.lax.stop_gradient(v) for v in init)
+    if _use_pallas(scene, backend):
+        from ..pallas.march_kernel import _march_pallas_impl, pack_bunny, \
+            pack_bunny_mxu, pack_scene
+        from .sdf import SHAPE
+        has_bound = (cfg.escape_bound
+                     and SHAPE.PLANE not in scene.shape_types)
+        params = pack_scene(scene, escape_bound=has_bound)
+        bunny = ((pack_bunny_mxu(scene) if cfg.bunny_mxu
+                  else pack_bunny(scene))
+                 if scene.bunny is not None else None)
+        out = _march_pallas_impl(params, bunny, origin, direction, active,
+                                 tuple(scene.shape_types),
+                                 float(scene.box_round), cfg,
+                                 rot_perm=tuple(scene.rot_perm),
+                                 has_bound=has_bound, init=init,
+                                 bunny_mxu=cfg.bunny_mxu)
+        t, idx, hit, fin, w, s, d, done = out
+        return ResumableResult(t, idx, hit.astype(bool), fin, w, s, d, done)
+    _, st = _march_loop(scene, origin, direction, cfg, active=active,
+                        init=init)
+    # fin for unconverged-but-active lanes is the full budget (they ran to
+    # the cap); gated-inactive lanes report 0 — matches the kernel contract
+    return ResumableResult(st.t, st.index, st.hit, st.fin, st.w, st.s,
+                           st.d, st.done.astype(jnp.int32))
 
 
 def _use_pallas(scene: Scene, backend: str) -> bool:
@@ -236,7 +306,7 @@ def march(scene: Scene, origin: jax.Array, direction: jax.Array,
         res = MarchResult(t, origin + t[:, None] * direction, index, hit,
                           jnp.max(lane_iters))
     else:
-        res = _march_loop(
+        res, _ = _march_loop(
             jax.lax.stop_gradient(scene),
             jax.lax.stop_gradient(origin),
             jax.lax.stop_gradient(direction), cfg,

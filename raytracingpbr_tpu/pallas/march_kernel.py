@@ -81,43 +81,44 @@ def pack_bunny_mxu(scene: Scene) -> jax.Array:
     no transposes or relayouts anywhere; the MXU eats the contraction and
     the VPU keeps only the sins/residuals (VERDICT r4 item 3).
 
-    Layout of the returned (392, 128) f32 block:
-      rows   0-127  M_in   = kron(w_in.T(3,16)->, eye(8)) zero-padded K
-      rows 128-255  M_h1   = kron(w_h1.T, eye(8))
-      rows 256-383  M_h2   = kron(w_h2.T, eye(8))
-      row  384      b_in  broadcast per feature block (col c = b[c//8])
-      row  385      b_h1  likewise
-      row  386      b_h2  likewise
-      rows 387-394 are not needed: V_out is 8 rows -> rows 387.. hold
-      V_out = kron(w_out(1,16), eye(8)) (8, 128); bias_out in row 395? —
-      compactly: rows 384-386 biases, rows 387-394 V_out, row 395 col 0
-      bias_out. Total 396 rows, padded to 400.
+    Layout of the returned (784, 128) f32 block (features live in ROW
+    blocks: activation row 8k+r = feature k, tile sublane r):
+      rows   0-127  M_in  = kron(w_in.T (16,3), eye(8)), zero-padded K cols
+      rows 128-255  M_h1  = kron(w_h1.T, eye(8))
+      rows 256-383  M_h2  = kron(w_h2.T, eye(8))
+      rows 384-511  B_in  broadcast: row 8k+r = b_in[k] (all 128 cols)
+      rows 512-639  B_h1  likewise
+      rows 640-767  B_h2  likewise
+      rows 768-775  V_out = kron(w_out (1,16), eye(8)) — (8, 128)
+      row  776      col 0 = bias_out
+      rows 777-783  zero padding
+
+    Built with jnp ops: the scene may be a traced constant inside jit
+    (march_pallas packs at trace time; XLA constant-folds it).
     """
     b = scene.bunny
-    w_in = np.asarray(b.w_in, np.float32)    # (3, 16)
-    w_h1 = np.asarray(b.w_h1, np.float32)    # (16, 16)
-    w_h2 = np.asarray(b.w_h2, np.float32)    # (16, 16)
-    w_out = np.asarray(b.w_out, np.float32)  # (16,)
-    eye8 = np.eye(8, dtype=np.float32)
+    f32 = jnp.float32
+    w_in = jnp.asarray(b.w_in, f32)    # (3, 16)
+    w_h1 = jnp.asarray(b.w_h1, f32)    # (16, 16)
+    w_h2 = jnp.asarray(b.w_h2, f32)    # (16, 16)
+    w_out = jnp.asarray(b.w_out, f32)  # (16,)
+    eye8 = jnp.eye(8, dtype=f32)
 
-    def kron_t(w):  # (j_in, 16) -> (128, 8*j_in) -> pad to (128, 128)
-        m = np.kron(w.T, eye8)  # (8*16, 8*j_in)
-        out = np.zeros((128, 128), np.float32)
-        out[: m.shape[0], : m.shape[1]] = m
-        return out
+    def kron_t(w):  # (j_in, 16) -> (128, 8*j_in) -> pad K cols to 128
+        m = jnp.kron(w.T, eye8)  # (128, 8*j_in)
+        return jnp.pad(m, ((0, 0), (0, 128 - m.shape[1])))
 
-    def brow(v):  # per-feature bias -> (1, 128) feature-block broadcast
-        return np.repeat(np.asarray(v, np.float32), 8)[None, :]
+    def bfull(v):  # per-feature bias -> (128, 128) row-block broadcast
+        return jnp.tile(jnp.repeat(jnp.asarray(v, f32), 8)[:, None],
+                        (1, 128))
 
-    v_out = np.kron(w_out[None, :], eye8)  # (8, 128)
-    last = np.zeros((1, 128), np.float32)
-    last[0, 0] = float(b.bias_out)
-    block = np.concatenate([
+    v_out = jnp.kron(w_out[None, :], eye8)  # (8, 128)
+    last = jnp.zeros((1, 128), f32).at[0, 0].set(b.bias_out)
+    return jnp.concatenate([
         kron_t(w_in), kron_t(w_h1), kron_t(w_h2),
-        brow(b.b_in), brow(b.b_h1), brow(b.b_h2),
+        bfull(b.b_in), bfull(b.b_h1), bfull(b.b_h2),
         v_out, last,
-        np.zeros((4, 128), np.float32)], axis=0)  # pad rows to 400
-    return jnp.asarray(block)
+        jnp.zeros((7, 128), f32)], axis=0)  # 784 rows
 
 
 def _bunny_tile_mxu(mref, px, py, pz):
@@ -125,16 +126,18 @@ def _bunny_tile_mxu(mref, px, py, pz):
     (128,128) matmuls + per-tile sins. Math identical to _bunny_tile up to
     f32 summation order inside the MXU contraction."""
     f32 = jnp.float32
-    pad = jnp.zeros((104, 128), f32)
+    shape_in = px.shape  # (1, 8, 128) inside the kernel's block
+    px, py, pz = (v.reshape(TILE_ROWS, TILE_COLS) for v in (px, py, pz))
+    pad = jnp.zeros((128 - 3 * TILE_ROWS, TILE_COLS), f32)
     p = jnp.concatenate([px, py, pz, pad], axis=0)        # (128, 128)
     m_in = mref[0:128, :]
     m_h1 = mref[128:256, :]
     m_h2 = mref[256:384, :]
-    b_in = mref[384, :][None, :]
-    b_h1 = mref[385, :][None, :]
-    b_h2 = mref[386, :][None, :]
-    v_out = mref[387:395, :]
-    bias_out = mref[395, 0]
+    b_in = mref[384:512, :]
+    b_h1 = mref[512:640, :]
+    b_h2 = mref[640:768, :]
+    v_out = mref[768:776, :]
+    bias_out = mref[776, 0]
 
     dot = lambda a, x: jax.lax.dot_general(
         a, x, (((1,), (0,)), ((), ())), preferred_element_type=f32)
@@ -143,7 +146,7 @@ def _bunny_tile_mxu(mref, px, py, pz):
     f2 = jnp.sin(dot(m_h2, f1) + b_h2) * (1.0 / 1.4) + f1
     sd = dot(v_out, f2) + bias_out                        # (8, 128)
     r = jnp.sqrt(px * px + py * py + pz * pz)
-    return jnp.where(r > 1.0, r - 0.8, sd)
+    return jnp.where(r > 1.0, r - 0.8, sd).reshape(shape_in)
 
 
 def _bunny_tile(wref, px, py, pz):

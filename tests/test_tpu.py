@@ -128,6 +128,184 @@ def test_tpu_render_matches_cpu_golden(name):
     assert db >= 30.0, f"{name} on TPU: PSNR {db:.2f} dB vs CPU golden"
 
 
+def test_split_march_resume_bit_equal_on_chip(cornell_setup):
+    """Mosaic has_init path: chained budget-capped marches reproduce the
+    single uninterrupted march bit-for-bit on the real chip (the property
+    cfg.march_split rests on; CPU/interpreter version in
+    tests/test_split_march.py)."""
+    import jax.numpy as jnp
+
+    from raytracingpbr_tpu.ops import march as marchlib
+
+    scene, cfg, cam, env, primary = cornell_setup
+    c = cfg.replace(max_raymarch=128)
+    o, d = primary.origin, primary.direction
+    ref = marchlib.march(scene, o, d, c, differentiable=False,
+                         backend="pallas")
+    B = 32
+    n = o.shape[0]
+    t = jnp.full((n,), c.march_t0)
+    w = jnp.full((n,), c.omega)
+    s = jnp.zeros((n,))
+    dd = jnp.full((n,), 1e3)
+    cum = jnp.zeros((n,), jnp.int32)
+    idx = jnp.zeros((n,), jnp.int32)
+    hit = jnp.zeros((n,), bool)
+    live = jnp.ones((n,), bool)
+    mcfg = c.replace(max_raymarch=B)
+    for _ in range(c.max_raymarch // B):
+        rr = marchlib.march_resumable(scene, o, d, mcfg, active=live,
+                                      init=(t, w, s, dd),
+                                      backend="pallas")
+        cum = cum + rr.fin
+        done_now = live & ((rr.done > 0) | (cum >= c.max_raymarch))
+        idx = jnp.where(live, rr.index, idx)
+        hit = jnp.where(live, rr.hit, hit)
+        t = jnp.where(live, rr.t, t)
+        w = jnp.where(live, rr.w, w)
+        s = jnp.where(live, rr.s, s)
+        dd = jnp.where(live, rr.d, dd)
+        live = live & ~done_now
+    np.testing.assert_array_equal(np.asarray(t), np.asarray(ref.t))
+    np.testing.assert_array_equal(np.asarray(hit), np.asarray(ref.hit))
+    both = np.asarray(hit) & np.asarray(ref.hit)
+    np.testing.assert_array_equal(np.asarray(idx)[both],
+                                  np.asarray(ref.index)[both])
+
+
+# --- estimator-quality floors (VERDICT r4 item 7): the r4 quality claims
+# lived only in one-off tool outputs; these gate them on hardware. ---
+
+# Equal-time NEE advantage on the sun-lit bench_nee scene was measured at
+# ~16 dB (SCALING.md r4); floor at 8 dB — a broken alias sampler, MIS
+# weight, or shadow march drops this to ~0.
+NEE_EQUAL_TIME_DB_FLOOR = 8.0
+# Reference-golden block correlation was 0.962 at 768 spp (PARITY.md r4);
+# at the cheaper in-gate spp it measures slightly lower — floor 0.93.
+PARITY_BLOCK_CORR_FLOOR = 0.93
+# replay+NEE backward throughput (bench.py extras). r4: 0.433 Msps; the r5
+# shadow-march diet targets >= 1.0. Floor at half the target.
+REPLAY_NEE_FLOOR_MSPS = 0.5
+
+
+def _nee_quality_setup():
+    import raytracingpbr_tpu as rt
+    from raytracingpbr_tpu.ops import ibl as ibllib
+    from raytracingpbr_tpu.ops.scene import ObjectSpec
+    from raytracingpbr_tpu.ops.sdf import SHAPE
+
+    img = np.full((64, 32, 3), 0.05, np.float32)
+    img[40:44, 24:28] = 25.0
+    env = ibllib.with_env_sampler(
+        rt.hdr_environment(jnp.asarray(img), prebake=False))
+    scene = rt.make_scene([
+        ObjectSpec(SHAPE.SPHERE, position=(0, -101, 0), scale=(100,) * 3,
+                   albedo=(0.7, 0.7, 0.7), roughness=1.0),
+        ObjectSpec(SHAPE.SPHERE, position=(-1.1, 0, 0), scale=(1.0,) * 3,
+                   albedo=(0.6, 0.4, 0.3), roughness=1.0),
+        ObjectSpec(SHAPE.SPHERE, position=(1.1, 0, 0), scale=(1.0,) * 3,
+                   albedo=(0.9, 0.9, 0.9), roughness=0.5, metallic=1.0),
+    ])
+    cam = rt.make_camera(lookfrom=(0, 1.2, 5.0), lookat=(0, 0, 0),
+                         vfov=40.0, aspect=1.0, aperture=0.0, focus=1.0)
+    cfg = rt.RenderConfig(
+        resolution=(160, 160), max_raymarch=64, max_raytrace=64,
+        omega=1.0, omega_policy=rt.OmegaPolicy.CONSTANT,
+        hit_criterion=rt.HitCriterion.ABSOLUTE, hit_precision=1e-4,
+        march_t0=0.005, max_dis=300.0, samples_per_frame=4)
+    return scene, env, cam, cfg
+
+
+def _mean_image(state):
+    a = np.asarray(state.accum)
+    return a[:, :3] / np.maximum(a[:, 3:4], 1.0)
+
+
+def test_nee_equal_time_quality_floor():
+    """Same wall-time, env_sampling off vs on, PSNR against a converged
+    NEE truth: the variance-reduction advantage must stay >= 8 dB
+    (tools/bench_nee.py methodology; r4 measured ~16 dB)."""
+    from raytracingpbr_tpu.utils.metrics import psnr
+
+    scene, env, cam, cfg = _nee_quality_setup()
+    budget_s = 2.0
+
+    def run(c, seconds):
+        state = make_frame_state(c.num_pixels)
+        frame = jax.jit(lambda st: integ.render_frame(scene, env, cam, st,
+                                                      c))
+        px, state = frame(state)
+        jax.block_until_ready(px)
+        state = make_frame_state(c.num_pixels)
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < seconds:
+            px, state = frame(state)
+            jax.block_until_ready(px)
+        return state
+
+    truth = _mean_image(run(cfg.replace(env_sampling=True), 8 * budget_s))
+    plain = _mean_image(run(cfg, budget_s))
+    nee = _mean_image(run(cfg.replace(env_sampling=True), budget_s))
+    db_plain = psnr(np.clip(plain, 0, 4), np.clip(truth, 0, 4), peak=4.0)
+    db_nee = psnr(np.clip(nee, 0, 4), np.clip(truth, 0, 4), peak=4.0)
+    assert db_nee - db_plain >= NEE_EQUAL_TIME_DB_FLOOR, (
+        f"equal-time NEE advantage {db_nee - db_plain:.1f} dB "
+        f"(nee {db_nee:.1f} vs plain {db_plain:.1f}) below floor")
+
+
+def test_parity_block_corr_floor():
+    """Structural agreement with the reference's own published artifact
+    (/root/reference/others/cornell_box_taichi.png) must not regress:
+    block-corr >= 0.93 at an in-gate sample budget (PARITY.md r4 recorded
+    0.962 at 768 spp)."""
+    import os
+
+    import raytracingpbr_tpu as rt
+    from raytracingpbr_tpu.io import image as imageio
+    from raytracingpbr_tpu.models import cornell as cmod
+    from raytracingpbr_tpu.ops import post as postlib2
+    from raytracingpbr_tpu.utils.metrics import block_corr
+
+    ref_png = "/root/reference/others/cornell_box_taichi.png"
+    if not os.path.exists(ref_png):
+        pytest.skip("reference golden not present")
+    gold = imageio.read_png(ref_png)[..., :3].astype(np.float32) / 255.0
+
+    # tools/parity_cornell.py recipe (megakernel estimator — the golden
+    # was rendered by the example megakernel; see its NOTE), at an in-gate
+    # 96-spp budget instead of 768.
+    cfg = cmod.full_config().replace(resolution=gold.shape[:2][::-1])
+    scene = cmod.full_scene()
+    cam = cmod.full_camera()
+    env = cmod.sky()
+    f = jax.jit(lambda s: rt.render_image(scene, env, cam, cfg, spp=8,
+                                          sample_offset=s,
+                                          tonemapped=False))
+    acc = None
+    for k in range(12):
+        img = f(jnp.uint32(k * 8))
+        acc = img if acc is None else acc + img
+    img = np.asarray(postlib2.tonemap(acc / 12, cfg, 0.6))
+    bc = block_corr(img, gold)
+    assert bc >= PARITY_BLOCK_CORR_FLOOR, (
+        f"block-corr vs reference golden {bc:.4f} below "
+        f"{PARITY_BLOCK_CORR_FLOOR}")
+
+
+def test_replay_nee_throughput_floor():
+    """Backward replay with NEE/MIS (the inverse-rendering config) must
+    keep >= 0.5 Msamples/s on the bench workload (r4: 0.433 before the
+    shadow-march diet; r5 target >= 1.0)."""
+    import bench as benchmod
+
+    msps = benchmod.bench_fwd_bwd(max_raytrace=128,
+                                  differentiable="replay",
+                                  env_sampling=True,
+                                  label="tpu-gate replay+NEE")
+    assert msps >= REPLAY_NEE_FLOOR_MSPS, (
+        f"replay+NEE {msps:.3f} Msps below {REPLAY_NEE_FLOOR_MSPS}")
+
+
 def test_wavefront_throughput_floor(cornell_setup):
     """Cornell full-PBR wavefront >= 5 Msamples/s AT THE DEFAULT CONFIG.
 
