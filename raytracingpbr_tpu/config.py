@@ -195,10 +195,14 @@ class RenderConfig:
     # realization only — each pixel's estimator is unchanged.
     # Simulated on the measured cornell need distribution
     # (tools/probe_split_budget.py): executed/needed tax 13.1x -> 2.0x at
-    # budget 32 with 90% of segments still completing per step. Applies to
-    # the wavefront integrator only (megakernel/replay keep exact
-    # per-bounce scan semantics). None = off.
-    march_split: Optional[int] = None
+    # budget 32 with 90% of segments still completing per step. MEASURED
+    # on TPU v5e (tools/probe_split_hw.py, round 5, cornell full-PBR
+    # wavefront): 11.9 -> 31.4 Msamples/s at budget 32 (2.7x); 64/128
+    # budgets and finer chunks all inferior (25.4 / 17.5 / 24.9 Msps).
+    # Applies to the wavefront integrator only (megakernel/replay keep
+    # exact per-bounce scan semantics), and only when the budget divides
+    # max_raymarch (see wavefront_step); None = off.
+    march_split: Optional[int] = 32
 
     # Evaluate the neural-bunny MLP's 16-wide layers on the MXU inside the
     # Pallas march kernel (pallas/march_kernel.pack_bunny_mxu): the feature

@@ -357,7 +357,14 @@ def wavefront_step(scene: Scene, env: Environment, cam: Camera,
     """
     depth = rays.depth
     dtype = rays.color.dtype
-    split = cfg.march_split is not None and march_cum is not None
+    # Split applies only when the budget divides max_raymarch: an
+    # unconverged lane always consumes exactly the budget per step, so its
+    # cumulative count stays a multiple of it and the final step lands
+    # exactly on max_raymarch — no lane ever marches past the reference's
+    # iteration cap. With a non-dividing budget the step runs unsplit.
+    split = (cfg.march_split is not None and march_cum is not None
+             and cfg.max_raymarch > cfg.march_split
+             and cfg.max_raymarch % cfg.march_split == 0)
     marching = (march_cum > 0) if split else None
 
     # Russian roulette (src/pathtracer.py:65-77). Depth-linear survival:

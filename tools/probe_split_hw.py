@@ -60,3 +60,26 @@ for budget in budgets:
     print(f"march_split={str(budget):>4s}: {dt/k*1e3:6.2f} ms/frame, "
           f"{(c1-c0)/dt/1e6:7.3f} Msps  (compile {tc:.0f}s, "
           f"in-flight {infl*100:.0f}%)", flush=True)
+
+# finer chunk granularity: budget floor is the chunk size, so B=32/chunk=32
+# is one convergence check per step — sweep chunk 16 x budget {16, 32}
+for chunk, budget in ((16, 16), (16, 32), (8, 16)):
+    cfg = base.replace(march_split=budget, march_chunk=chunk)
+    frame = jax.jit(lambda st, cfg=cfg: integ.render_frame(
+        scene, env, cam, st, cfg))
+    state = make_frame_state(cfg.num_pixels)
+    px, state = frame(state)
+    jax.block_until_ready(px)
+    for _ in range(6):
+        px, state = frame(state)
+    jax.block_until_ready(px)
+    c0 = float(state.accum[:, 3].sum())
+    k = 15
+    t0 = time.time()
+    for _ in range(k):
+        px, state = frame(state)
+    jax.block_until_ready(px)
+    dt = time.time() - t0
+    c1 = float(state.accum[:, 3].sum())
+    print(f"chunk={chunk} split={budget}: {dt/k*1e3:6.2f} ms/frame, "
+          f"{(c1-c0)/dt/1e6:7.3f} Msps", flush=True)
