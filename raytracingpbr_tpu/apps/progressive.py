@@ -44,7 +44,7 @@ def run(scene, env, cam, cfg, out_dir: str, minutes: float = 1.0,
         save_every: int = 50, exposure: float = 1.0,
         metrics_path: str | None = None, debug_views: bool = False,
         validate: bool = False, serve: int | None = None,
-        serve_host: str = "127.0.0.1") -> None:
+        serve_host: str = "127.0.0.1", compact_every: int = 0) -> None:
     os.makedirs(out_dir, exist_ok=True)
     server = None
     if serve is not None:
@@ -60,8 +60,35 @@ def run(scene, env, cam, cfg, out_dir: str, minutes: float = 1.0,
     else:
         state = make_frame_state(cfg.num_pixels)
 
-    frame = jax.jit(lambda st: integ.render_frame(scene, env, cam, st, cfg,
-                                                  exposure=exposure))
+    # Adaptive compaction (ops/compact.py): keep the persistent state in
+    # actives-first lane order so converged pixels pool into dense tiles
+    # the march skips whole. The lane->pixel map is data; display scatters
+    # through it. Off unless requested (needs cfg.adaptive_sampling).
+    compacting = compact_every > 0 and cfg.adaptive_sampling
+    pixel_id = jax.numpy.arange(cfg.num_pixels, dtype=jax.numpy.uint32)
+    if compacting:
+        from ..ops import compact as compactlib
+        tile_fn = jax.jit(lambda st, pid: integ.render_frame_tile(
+            scene, env, cam, st, cfg, pid, exposure=exposure))
+        frame = lambda st: tile_fn(st, pixel_id)
+    else:
+        frame = jax.jit(lambda st: integ.render_frame(
+            scene, env, cam, st, cfg, exposure=exposure))
+
+    def raster(pixels_flat):
+        flat = np.asarray(pixels_flat)
+        if compacting:
+            from ..ops import compact as compactlib
+            flat = compactlib.scatter_pixels(flat, pixel_id, cfg)
+        return flat.reshape(cfg.width, cfg.height, 3).transpose(1, 0, 2)[::-1]
+
+    def to_raster(st):
+        # checkpoints/debug views are always raster lane order
+        if not compacting:
+            return st
+        from ..ops import compact as compactlib
+        return compactlib.uncompact_frame_state(st, pixel_id)
+
     log = MetricsLogger(metrics_path)
     deadline = time.time() + minutes * 60
     pixels = None
@@ -71,29 +98,29 @@ def run(scene, env, cam, cfg, out_dir: str, minutes: float = 1.0,
         jax.block_until_ready(pixels)
         dt = time.time() - t0
         f = int(state.frame)
+        if compacting and f % compact_every == 0:
+            from ..ops import compact as compactlib
+            state, pixel_id = compactlib.compact_frame_state(
+                state, pixel_id, cfg.noise_threshold)
         stats = log.frame_stats(np.asarray(pixels), np.asarray(state.accum),
                                 dt, frame=f)
         if server is not None:
-            img = np.asarray(pixels).reshape(
-                cfg.width, cfg.height, 3).transpose(1, 0, 2)[::-1]
-            server.update(img, **stats)
+            server.update(raster(pixels), **stats)
         if validate:
             from ..utils.validate import assert_state_finite
             assert_state_finite(state)
         if f % save_every == 0:
-            img = np.asarray(pixels).reshape(
-                cfg.width, cfg.height, 3).transpose(1, 0, 2)[::-1]
-            imageio.write_png(os.path.join(out_dir, "latest.png"), img)
-            ckpt.save(ckpt_path, state, meta={"frame": f})
+            imageio.write_png(os.path.join(out_dir, "latest.png"),
+                              raster(pixels))
+            ckpt.save(ckpt_path, to_raster(state), meta={"frame": f})
             if debug_views:
-                _save_debug_views(state, cfg, out_dir)
+                _save_debug_views(to_raster(state), cfg, out_dir)
     if pixels is not None:
-        img = np.asarray(pixels).reshape(
-            cfg.width, cfg.height, 3).transpose(1, 0, 2)[::-1]
-        imageio.write_png(os.path.join(out_dir, "final.png"), img)
-        ckpt.save(ckpt_path, state, meta={"frame": int(state.frame)})
+        imageio.write_png(os.path.join(out_dir, "final.png"), raster(pixels))
+        ckpt.save(ckpt_path, to_raster(state),
+                  meta={"frame": int(state.frame)})
         if debug_views:
-            _save_debug_views(state, cfg, out_dir)
+            _save_debug_views(to_raster(state), cfg, out_dir)
     log.close()
     if server is not None:
         server.stop()
@@ -129,6 +156,13 @@ def main(argv=None):
     p.add_argument("--nee", action="store_true",
                    help="env importance sampling + specular MIS "
                         "(cfg.env_sampling; HDR-sky scenes only)")
+    p.add_argument("--adaptive", action="store_true",
+                   help="adaptive sampling (cfg.adaptive_sampling)")
+    p.add_argument("--compact-every", type=int, default=0, metavar="N",
+                   help="with --adaptive: every N frames, repack the "
+                        "persistent state actives-first so converged "
+                        "pixels pool into dense tiles the march skips "
+                        "whole (ops/compact.py; 0 = off)")
     args = p.parse_args(argv)
 
     if args.scene == "demo":
@@ -146,10 +180,13 @@ def main(argv=None):
         from ..ops.ibl import with_env_sampler
         env = with_env_sampler(env)  # raises for non-HDR skies
         cfg = cfg.replace(env_sampling=True)
+    if args.adaptive:
+        cfg = cfg.replace(adaptive_sampling=True)
     run(scene, env, cam, cfg, args.out, minutes=args.minutes,
         exposure=exposure, metrics_path=args.metrics,
         validate=args.validate, debug_views=args.debug_views,
-        serve=args.serve, serve_host=args.serve_host)
+        serve=args.serve, serve_host=args.serve_host,
+        compact_every=args.compact_every)
 
 
 if __name__ == "__main__":

@@ -100,11 +100,44 @@ def hdr_environment(image: jax.Array, exposure: float = 1.4,
                        scale=jnp.asarray(scale, img.dtype))
 
 
+# One-hot-matmul threshold for per-lane table fetches. TPU row gathers are
+# latency-bound at ~14 ns/row regardless of row width
+# (tools/probe_gather.py), so a 230k-lane env fetch costs ~3 ms — and the
+# NEE inner loop does several per bounce (measured 8.4 ms sample + 5.1 ms
+# env_pdf per invocation, tools/probe_nee_cost.py). For small tables a
+# one-hot (N, m) @ (m, k) matmul fetches the same rows on the MXU in the
+# time it takes to stream N*m one-hot bits (~0.6 ms at m=512), is exact
+# (one nonzero term per row; f32 accumulate), and is linear — the env
+# image stays differentiable with an MXU-shaped VJP instead of a
+# scatter-add. Above the threshold the one-hot traffic (∝ N*m) loses to
+# the gather; real multi-megapixel HDR maps keep the gather path.
+_ONEHOT_MAX_ROWS = 1024
+
+
+def fetch_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """``table[idx]`` for (m, ...) tables and (N,) int indices, via one-hot
+    matmul when m <= _ONEHOT_MAX_ROWS (see note above)."""
+    m = table.shape[0]
+    if idx.ndim != 1 or m > _ONEHOT_MAX_ROWS:
+        return table[idx]
+    flat = table.reshape(m, -1)
+    dt = flat.dtype if jnp.issubdtype(flat.dtype, jnp.floating) \
+        else jnp.float32
+    oh = (idx[:, None] == jnp.arange(m, dtype=idx.dtype)[None, :]
+          ).astype(dt)
+    out = jnp.dot(oh, flat.astype(dt), preferred_element_type=dt)
+    if not jnp.issubdtype(table.dtype, jnp.floating):
+        out = jnp.round(out).astype(table.dtype)
+    return out.reshape((idx.shape[0],) + table.shape[1:])
+
+
 def _texture_nearest(img: jax.Array, uv: jax.Array) -> jax.Array:
     """Nearest-neighbor fetch; ``src/ibl.py:25-29`` (int truncation)."""
     w, h = img.shape[0], img.shape[1]
     x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+    if x.ndim == 1 and img.shape[0] * img.shape[1] <= _ONEHOT_MAX_ROWS:
+        return fetch_rows(img.reshape(w * h, 3), x * h + y)
     return img[x, y]
 
 
@@ -313,8 +346,18 @@ def sample_env_baked(env: Environment, u: jax.Array,
     cell = jnp.clip(scaled.astype(jnp.int32), 0, n - 1)
     if u_accept is None:
         u_accept = scaled - cell.astype(scaled.dtype)
-    take_alias = u_accept >= env.s_prob[cell]
-    texel = jnp.where(take_alias, env.s_alias[cell], cell)
+    if cell.ndim == 1 and n <= _ONEHOT_MAX_ROWS:
+        # prob + alias fetched together through ONE one-hot matmul (the
+        # alias id is exact in f32: < n <= 1024 << 2^24)
+        pa = fetch_rows(
+            jnp.stack([env.s_prob,
+                       env.s_alias.astype(env.s_prob.dtype)], axis=-1),
+            cell)
+        take_alias = u_accept >= pa[:, 0]
+        texel = jnp.where(take_alias, pa[:, 1].astype(jnp.int32), cell)
+    else:
+        take_alias = u_accept >= env.s_prob[cell]
+        texel = jnp.where(take_alias, env.s_alias[cell], cell)
     x = texel // h
     y = texel % h
     if u_jitter is None:
@@ -328,8 +371,17 @@ def sample_env_baked(env: Environment, u: jax.Array,
     cl = jnp.cos(lat)
     direction = jnp.stack(
         [cl * jnp.cos(phi), jnp.sin(lat), cl * jnp.sin(phi)], axis=-1)
-    radiance = img[x, y] * env.scale
-    pdf = env.s_pdf[x, y]
+    # radiance + pdf through one fused one-hot fetch (4 columns)
+    if x.ndim == 1 and n <= _ONEHOT_MAX_ROWS:
+        block = jnp.concatenate(
+            [img.reshape(n, 3),
+             env.s_pdf.reshape(n, 1).astype(img.dtype)], axis=-1)
+        rp = fetch_rows(block, texel)
+        radiance = rp[:, :3] * env.scale
+        pdf = rp[:, 3]
+    else:
+        radiance = img[x, y] * env.scale
+        pdf = env.s_pdf[x, y]
     if u_jitter is not None:
         pdf = pdf * _texel_center_cl(y, h, img.dtype) \
             / jnp.maximum(cl, 1e-4)
@@ -349,7 +401,11 @@ def env_pdf(env: Environment, direction: jax.Array) -> jax.Array:
     x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
     cl = jnp.sqrt(jnp.maximum(1.0 - direction[..., 1] ** 2, 1e-8))
-    return env.s_pdf[x, y] * _texel_center_cl(y, h, img.dtype) \
+    if x.ndim == 1 and w * h <= _ONEHOT_MAX_ROWS:
+        spdf = fetch_rows(env.s_pdf.reshape(w * h), x * h + y)
+    else:
+        spdf = env.s_pdf[x, y]
+    return spdf * _texel_center_cl(y, h, img.dtype) \
         / jnp.maximum(cl, 1e-4)
 
 

@@ -48,3 +48,27 @@ for adaptive in (False, True):
     print(f"adaptive={adaptive}: early {early*1e3:.1f} ms/frame, "
           f"late {late*1e3:.1f} ms/frame ({act*100:.0f}% pixels active)",
           flush=True)
+
+    if adaptive:
+        # frame-granularity compaction (ops/compact.py): same converged
+        # state, actives packed to the front so inactive tiles are dense
+        from raytracingpbr_tpu.ops import compact as compactlib
+        pid = jnp.arange(cfg.num_pixels, dtype=jnp.uint32)
+        stc, pid = compactlib.compact_frame_state(st, pid,
+                                                  cfg.noise_threshold)
+        tile = jax.jit(lambda s, p: integ.render_frame_tile(
+            scene, env, cam, s, cfg, p))
+        px2, stc = tile(stc, pid)
+        jax.block_until_ready(px2)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            px2, stc = tile(stc, pid)
+        jax.block_until_ready(px2)
+        late_c = (time.perf_counter() - t0) / 10
+        t0 = time.perf_counter()
+        stc, pid = compactlib.compact_frame_state(stc, pid,
+                                                  cfg.noise_threshold)
+        jax.block_until_ready(pid)
+        tcomp = time.perf_counter() - t0
+        print(f"  compacted: late {late_c*1e3:.1f} ms/frame "
+              f"(recompaction itself {tcomp*1e3:.1f} ms)", flush=True)

@@ -94,3 +94,17 @@ for seconds in (3.0, 10.0):
     print(f"{seconds:.0f}s  plain: {msps_a:6.2f} Msps {spp_a:6.0f} spp "
           f"PSNR {pa:5.2f} dB   |   NEE+MIS: {msps_b:6.2f} Msps "
           f"{spp_b:6.0f} spp PSNR {pb:5.2f} dB", flush=True)
+
+# --- shadow-march diet A/B (round 5, cfg.shadow_diet) ---
+# Bias: the diet changes the NEE visibility test (absolute criterion at
+# min_dis/2, min(128, max_raymarch) budget) — measure the converged mean
+# shift against the exact scene-march visibility, and the speed delta.
+t_d, msps_d, spp_d, _ = run(cfg.replace(env_sampling=True), env_s, 30.0)
+t_x, msps_x, spp_x, _ = run(
+    cfg.replace(env_sampling=True, shadow_diet=False), env_s, 30.0)
+shift = float(np.abs(t_d.mean(0) - t_x.mean(0)).max())
+rel = shift / float(t_x.mean() + 1e-9)
+print(f"shadow diet ON : {msps_d:6.2f} Msps ({spp_d:.0f} spp)", flush=True)
+print(f"shadow diet OFF: {msps_x:6.2f} Msps ({spp_x:.0f} spp)", flush=True)
+print(f"diet mean shift: {shift:.2e} abs ({rel*100:.3f}% of mean) "
+      f"[converged means over {spp_d:.0f}/{spp_x:.0f} spp]", flush=True)
