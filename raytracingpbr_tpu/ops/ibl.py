@@ -114,18 +114,49 @@ def hdr_environment(image: jax.Array, exposure: float = 1.4,
 _ONEHOT_MAX_ROWS = 1024
 
 
+_TWOLEVEL_MAX_ROWS = 8192  # beyond this K grows past ~8 and gather wins
+
+
 def fetch_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
-    """``table[idx]`` for (m, ...) tables and (N,) int indices, via one-hot
-    matmul when m <= _ONEHOT_MAX_ROWS (see note above)."""
+    """``table[idx]`` for (m, ...) tables and (N,) int indices.
+
+    * m <= _ONEHOT_MAX_ROWS: direct one-hot matmul (see note above).
+    * m <= _TWOLEVEL_MAX_ROWS: two-level — rows are grouped in K =
+      ceil(m/1024) consecutive rows; an (N, m/K) outer one-hot matmul
+      fetches each lane's whole K-row group as a small (N, K*k) block,
+      then K masked column-selects pick the row. One-hot traffic stays
+      ~N*1024 regardless of m; the intermediate block is tiny.
+    * larger (real multi-megapixel HDR maps): plain gather.
+    Exact in all paths (one nonzero product per row; f32 holds group ids
+    and int payloads below 2^24 exactly)."""
     m = table.shape[0]
-    if idx.ndim != 1 or m > _ONEHOT_MAX_ROWS:
+    if idx.ndim != 1 or m > _TWOLEVEL_MAX_ROWS:
         return table[idx]
     flat = table.reshape(m, -1)
+    k = flat.shape[1]
     dt = flat.dtype if jnp.issubdtype(flat.dtype, jnp.floating) \
         else jnp.float32
-    oh = (idx[:, None] == jnp.arange(m, dtype=idx.dtype)[None, :]
-          ).astype(dt)
-    out = jnp.dot(oh, flat.astype(dt), preferred_element_type=dt)
+    if m <= _ONEHOT_MAX_ROWS:
+        oh = (idx[:, None] == jnp.arange(m, dtype=idx.dtype)[None, :]
+              ).astype(dt)
+        out = jnp.dot(oh, flat.astype(dt), preferred_element_type=dt)
+    else:
+        kk = -(-m // _ONEHOT_MAX_ROWS)      # rows per group (<= 8)
+        groups = -(-m // kk)                # <= 1024
+        pad = groups * kk - m
+        if pad:
+            flat = jnp.concatenate(
+                [flat, jnp.zeros((pad, k), flat.dtype)], axis=0)
+        gtab = flat.reshape(groups, kk * k).astype(dt)
+        hi = (idx // kk).astype(idx.dtype)
+        lo = idx % kk
+        oh = (hi[:, None] == jnp.arange(groups, dtype=idx.dtype)[None, :]
+              ).astype(dt)
+        block = jnp.dot(oh, gtab, preferred_element_type=dt)  # (N, kk*k)
+        out = jnp.zeros((idx.shape[0], k), dt)
+        for j in range(kk):
+            out = jnp.where((lo == j)[:, None],
+                            block[:, j * k:(j + 1) * k], out)
     if not jnp.issubdtype(table.dtype, jnp.floating):
         out = jnp.round(out).astype(table.dtype)
     return out.reshape((idx.shape[0],) + table.shape[1:])
@@ -136,7 +167,7 @@ def _texture_nearest(img: jax.Array, uv: jax.Array) -> jax.Array:
     w, h = img.shape[0], img.shape[1]
     x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
-    if x.ndim == 1 and img.shape[0] * img.shape[1] <= _ONEHOT_MAX_ROWS:
+    if x.ndim == 1 and img.shape[0] * img.shape[1] <= _TWOLEVEL_MAX_ROWS:
         return fetch_rows(img.reshape(w * h, 3), x * h + y)
     return img[x, y]
 
@@ -346,7 +377,7 @@ def sample_env_baked(env: Environment, u: jax.Array,
     cell = jnp.clip(scaled.astype(jnp.int32), 0, n - 1)
     if u_accept is None:
         u_accept = scaled - cell.astype(scaled.dtype)
-    if cell.ndim == 1 and n <= _ONEHOT_MAX_ROWS:
+    if cell.ndim == 1 and n <= _TWOLEVEL_MAX_ROWS:
         # prob + alias fetched together through ONE one-hot matmul (the
         # alias id is exact in f32: < n <= 1024 << 2^24)
         pa = fetch_rows(
@@ -372,7 +403,7 @@ def sample_env_baked(env: Environment, u: jax.Array,
     direction = jnp.stack(
         [cl * jnp.cos(phi), jnp.sin(lat), cl * jnp.sin(phi)], axis=-1)
     # radiance + pdf through one fused one-hot fetch (4 columns)
-    if x.ndim == 1 and n <= _ONEHOT_MAX_ROWS:
+    if x.ndim == 1 and n <= _TWOLEVEL_MAX_ROWS:
         block = jnp.concatenate(
             [img.reshape(n, 3),
              env.s_pdf.reshape(n, 1).astype(img.dtype)], axis=-1)
@@ -401,7 +432,7 @@ def env_pdf(env: Environment, direction: jax.Array) -> jax.Array:
     x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
     cl = jnp.sqrt(jnp.maximum(1.0 - direction[..., 1] ** 2, 1e-8))
-    if x.ndim == 1 and w * h <= _ONEHOT_MAX_ROWS:
+    if x.ndim == 1 and w * h <= _TWOLEVEL_MAX_ROWS:
         spdf = fetch_rows(env.s_pdf.reshape(w * h), x * h + y)
     else:
         spdf = env.s_pdf[x, y]

@@ -22,15 +22,26 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def latest_bench():
+    """Newest bench record: the driver's BENCH_r*.json, or — when a
+    builder-run `python bench.py` is newer — tools/bench.latest.json
+    (docs are updated in the same round the numbers are measured; the
+    driver record lands only at round end)."""
     files = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
-    if not files:
-        pytest.skip("no BENCH_r*.json recorded yet")
-    with open(files[-1]) as f:
+    local = os.path.join(REPO, "tools", "bench.latest.json")
+    candidates = []
+    if files:
+        candidates.append(files[-1])
+    if os.path.exists(local):
+        candidates.append(local)
+    if not candidates:
+        pytest.skip("no bench record yet")
+    newest = max(candidates, key=os.path.getmtime)
+    with open(newest) as f:
         data = json.load(f)
-    parsed = data.get("parsed")
+    parsed = data.get("parsed", data if "value" in data else None)
     if not parsed:
-        pytest.skip(f"{files[-1]} has no parsed bench record")
-    return parsed, os.path.basename(files[-1])
+        pytest.skip(f"{newest} has no parsed bench record")
+    return parsed, os.path.basename(newest)
 
 
 def read(name):
@@ -55,7 +66,7 @@ MANIFEST = [
      r"128-bounce replay \+ NEE/MIS[^|]*\|\s*\**([\d.]+)",
      "fwd_bwd_msps_128bounce_replay_nee", "msps"),
     ("README.md",
-     r"march runs at ([\d.]+)% of the measured VPU",
+     r"march runs at ([\d.]+)% of\s+the\s+measured\s+VPU",
      "march_utilization_pct", "pct"),
     ("SCALING.md",
      r"runs at ([\d.]+)% of the measured VPU roof",

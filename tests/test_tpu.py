@@ -184,8 +184,10 @@ NEE_EQUAL_TIME_DB_FLOOR = 8.0
 # at the cheaper in-gate spp it measures slightly lower — floor 0.93.
 PARITY_BLOCK_CORR_FLOOR = 0.93
 # replay+NEE backward throughput (bench.py extras). r4: 0.433 Msps; the r5
-# shadow-march diet targets >= 1.0. Floor at half the target.
-REPLAY_NEE_FLOOR_MSPS = 0.5
+# one-hot/two-level env-table fetches lift it to 1.12 (the tax was
+# gather-bound env sampling, not the shadow march —
+# tools/probe_replay_nee.py). Floor tolerates chip-state jitter.
+REPLAY_NEE_FLOOR_MSPS = 0.7
 
 
 def _nee_quality_setup():
@@ -294,8 +296,8 @@ def test_parity_block_corr_floor():
 
 def test_replay_nee_throughput_floor():
     """Backward replay with NEE/MIS (the inverse-rendering config) must
-    keep >= 0.5 Msamples/s on the bench workload (r4: 0.433 before the
-    shadow-march diet; r5 target >= 1.0)."""
+    keep >= 0.7 Msamples/s on the bench workload (r4: 0.433; r5 measures
+    1.12 after the gather-free env-table fetches)."""
     import bench as benchmod
 
     msps = benchmod.bench_fwd_bwd(max_raytrace=128,
