@@ -24,6 +24,7 @@ returned ``pixel_id`` (``scatter_pixels``).
 """
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -89,6 +90,7 @@ def actives_first_perm(active: jax.Array) -> jax.Array:
         jnp.arange(act.shape[0], dtype=jnp.int32))
 
 
+@functools.partial(jax.jit, static_argnames=("noise_threshold",))
 def compact_frame_state(state: FrameState, pixel_id: jax.Array,
                         noise_threshold: float
                         ) -> Tuple[FrameState, jax.Array]:
