@@ -52,7 +52,7 @@ best = None
 for order in (Tonemap.GAMMA_THEN_ACES, Tonemap.ACES_THEN_GAMMA):
     for gamma in (2.2, 2.4):
         c = cfg.replace(tonemap=order, gamma=gamma)
-        for e in np.geomspace(1.2, 2.4, 60):
+        for e in np.geomspace(0.5, 2.4, 90):
             img = np.asarray(postlib.tonemap(jnp.asarray(lin), c, float(e)))
             db = psnr(img, GOLD)
             if best is None or db > best[0]:
@@ -68,3 +68,22 @@ io.write_png("/root/repo/out_anchor_best.png", img)
 diff = img - GOLD
 print("residual: mean", diff.mean(axis=(0, 1)),
       "| abs p50/p90:", np.percentile(np.abs(diff), [50, 90]), flush=True)
+
+# Stage 3: is the residual a global color transform (capture cast) or
+# shading? Fit per-channel gains on the linear image before the post
+# chain; a large PSNR jump proves the remaining gap is not geometry or
+# light transport.
+c = cfg.replace(tonemap=Tonemap(order), gamma=gamma)
+best2 = (db, (1.0, 1.0, 1.0), img)
+for gr in np.linspace(0.7, 1.2, 11):
+    for gg in np.linspace(0.7, 1.2, 11):
+        for gb in np.linspace(0.7, 1.2, 11):
+            lin2 = lin * np.asarray([gr, gg, gb], np.float32) * e
+            img2 = np.asarray(postlib.tonemap(jnp.asarray(lin2), c, 1.0))
+            d2 = psnr(img2, GOLD)
+            if d2 > best2[0]:
+                best2 = (d2, (gr, gg, gb), img2)
+db2, gains, img2 = best2
+print(f"per-channel gains {tuple(round(g,3) for g in gains)}: "
+      f"PSNR {db2:.2f} dB  SSIM {ssim(img2, GOLD):.4f}  "
+      f"block-corr {block_corr(img2, GOLD):.4f}", flush=True)
