@@ -117,6 +117,19 @@ class RenderConfig:
     # post-convergence work inside a chunk is masked but not free.
     march_chunk: Optional[int] = None
 
+    # March kernel tile height in sublanes (lanes per grid tile =
+    # rows * 128). Smaller tiles localize divergence (a tile exits at ITS
+    # max need); larger tiles amortize Mosaic per-tile fixed cost
+    # (measured ~3.5 us/tile). At the split-march default (budget 32 =
+    # one chunk) every active tile pays exactly 32 trips regardless of
+    # height, so taller tiles are pure fixed-cost savings: measured +11%
+    # on cornell/tokyo/bunny at rows=32, pixels bit-identical (round 5).
+    # None = auto: 32 when the kernel's trip budget is <= 64 (split-march
+    # steps), else 8 (long single-shot marches keep fine divergence
+    # granularity). bunny_mxu forces 8 (its kron packing assumes
+    # 8-sublane feature blocks).
+    march_tile_rows: Optional[int] = None
+
     # Compacted multi-phase march (pallas/march_kernel.march_phased): march
     # everyone a small budget, repack the unconverged lanes into dense
     # tiles, resume with doubled budgets carrying exact loop state.

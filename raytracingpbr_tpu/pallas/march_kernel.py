@@ -126,9 +126,13 @@ def _bunny_tile_mxu(mref, px, py, pz):
     (128,128) matmuls + per-tile sins. Math identical to _bunny_tile up to
     f32 summation order inside the MXU contraction."""
     f32 = jnp.float32
-    shape_in = px.shape  # (1, 8, 128) inside the kernel's block
-    px, py, pz = (v.reshape(TILE_ROWS, TILE_COLS) for v in (px, py, pz))
-    pad = jnp.zeros((128 - 3 * TILE_ROWS, TILE_COLS), f32)
+    shape_in = px.shape  # (1, rows, 128) inside the kernel's block
+    rows = shape_in[-2]
+    if rows != 8:
+        raise ValueError("bunny_mxu requires march_tile_rows=8 (the kron "
+                         "packing assumes 8-sublane feature blocks)")
+    px, py, pz = (v.reshape(rows, TILE_COLS) for v in (px, py, pz))
+    pad = jnp.zeros((128 - 3 * rows, TILE_COLS), f32)
     p = jnp.concatenate([px, py, pz, pad], axis=0)        # (128, 128)
     m_in = mref[0:128, :]
     m_h1 = mref[128:256, :]
@@ -421,9 +425,24 @@ def _march_kernel(params_ref, *refs, scene_types: Tuple[int, ...], cfg,
     done_ref[:] = done
 
 
-def _pad_to_tile(x: jax.Array) -> Tuple[jax.Array, int]:
+def resolve_tile_rows(cfg: RenderConfig) -> int:
+    """Tile height (sublanes) for the march kernel — see the
+    ``march_tile_rows`` config note. Auto: tall (32) tiles when the
+    kernel's own trip budget is one-or-two chunks (the split-march step:
+    every active tile pays the full budget anyway, so height only
+    amortizes per-tile fixed cost — measured +11%); standard (8, 128)
+    tiles for long single-shot marches where height coarsens the per-tile
+    early exit. bunny_mxu's kron packing assumes 8 sublanes."""
+    if cfg.march_tile_rows is not None:
+        return cfg.march_tile_rows
+    if cfg.bunny_mxu:
+        return 8
+    return 32 if cfg.max_raymarch <= 64 else 8
+
+
+def _pad_to_tile(x: jax.Array, tile: int = TILE) -> Tuple[jax.Array, int]:
     n = x.shape[0]
-    pad = (-n) % TILE
+    pad = (-n) % tile
     if pad:
         x = jnp.concatenate([x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
     return x, n
@@ -435,11 +454,13 @@ def _pad_to_tile(x: jax.Array) -> Tuple[jax.Array, int]:
 def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
                        box_round, cfg: RenderConfig, rot_perm=None,
                        has_bound=False, init=None, bunny_mxu=False):
-    o_pad, n = _pad_to_tile(origin)
-    d_pad, _ = _pad_to_tile(direction)
+    rows = resolve_tile_rows(cfg)
+    tile = rows * TILE_COLS
+    o_pad, n = _pad_to_tile(origin, tile)
+    d_pad, _ = _pad_to_tile(direction, tile)
     num = o_pad.shape[0]
-    tiles = num // TILE
-    shape3 = (tiles, TILE_ROWS, TILE_COLS)
+    tiles = num // tile
+    shape3 = (tiles, rows, TILE_COLS)
 
     def split(v):
         return [v[:, k].reshape(shape3) for k in range(3)]
@@ -456,7 +477,7 @@ def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
                                rot_perm=rot_perm, has_bound=has_bound,
                                has_init=has_init, bunny_mxu=bunny_mxu)
 
-    tile_spec = pl.BlockSpec((1, TILE_ROWS, TILE_COLS),
+    tile_spec = pl.BlockSpec((1, rows, TILE_COLS),
                              lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     full_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -464,12 +485,12 @@ def _march_pallas_impl(params, bunny, origin, direction, active, scene_types,
     act = []
     if has_active:
         # pad lanes are inactive (padding rays must not march)
-        a_pad, _ = _pad_to_tile(active.astype(jnp.int32))
+        a_pad, _ = _pad_to_tile(active.astype(jnp.int32), tile)
         act = [a_pad.reshape(shape3)]
     init_tiles = []
     if has_init:
         for v in init:  # (t, w, s, d) resumed loop state, (n,) f32 each
-            v_pad, _ = _pad_to_tile(v)
+            v_pad, _ = _pad_to_tile(v, tile)
             init_tiles.append(v_pad.reshape(shape3))
     f32 = jnp.float32
     i32 = jnp.int32
@@ -611,15 +632,16 @@ def march_phased(scene: Scene, origin: jax.Array, direction: jax.Array,
     br = float(scene.box_round)
     rp = tuple(scene.rot_perm)
 
-    o_pad, n = _pad_to_tile(origin)
-    d_pad, _ = _pad_to_tile(direction)
+    tile = resolve_tile_rows(cfg) * TILE_COLS
+    o_pad, n = _pad_to_tile(origin, tile)
+    d_pad, _ = _pad_to_tile(direction, tile)
     num = o_pad.shape[0]
     f32 = o_pad.dtype
 
     if active is None:
         done = jnp.zeros((num,), jnp.int32).at[n:].set(1)
     else:
-        a_pad, _ = _pad_to_tile(active.astype(jnp.int32))
+        a_pad, _ = _pad_to_tile(active.astype(jnp.int32), tile)
         done = 1 - a_pad  # pad lanes arrive as 0 -> done
     order = jnp.arange(num, dtype=jnp.int32)  # lane position -> ray id
     t = jnp.full((num,), cfg.march_t0, f32)

@@ -201,8 +201,11 @@ def march_utilization(scene: Scene, origin, direction, cfg: RenderConfig,
     """
     import numpy as np
 
-    from ..pallas.march_kernel import (TILE, march_pallas, march_phased,
-                                       resolve_chunk, resolve_phases)
+    from ..pallas.march_kernel import (TILE_COLS, march_pallas,
+                                       march_phased, resolve_chunk,
+                                       resolve_phases, resolve_tile_rows)
+
+    tile = resolve_tile_rows(cfg) * TILE_COLS
 
     phased = cfg.march_compaction and len(resolve_phases(cfg)) > 1
     impl = march_phased if phased else march_pallas
@@ -216,17 +219,17 @@ def march_utilization(scene: Scene, origin, direction, cfg: RenderConfig,
     dt = (time.perf_counter() - t0) / reps
 
     fin = np.asarray(jax.device_get(lane_iters), np.int64)
-    pad = (-fin.shape[0]) % TILE
+    pad = (-fin.shape[0]) % tile
     if pad:
         fin = np.concatenate([fin, np.zeros(pad, np.int64)])
     chunk = resolve_chunk(cfg)
     if phased:
         executed = phased_executed(fin, resolve_phases(cfg), chunk)
     else:
-        per_tile_max = fin.reshape(-1, TILE).max(axis=1)
+        per_tile_max = fin.reshape(-1, tile).max(axis=1)
         trips = np.minimum(-(-per_tile_max // chunk) * chunk,
                            cfg.max_raymarch)
-        executed = int(trips.sum()) * TILE
+        executed = int(trips.sum()) * tile
     needed = int(fin.sum())
 
     fpi = march_flops_per_iter(scene, cfg)

